@@ -25,6 +25,8 @@ class CrawlConf:
     default_crawl_delay_ms: int = 1000
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 7
+    bloom_segment_bits: int = 1 << 17  # 16 KiB/bucket; ~13k keys at 10 b/key
+    salting_enabled: bool = True
     salt_threshold_factor: float = 4.0  # τ = factor × mean host queue length
     salt_fanout: int = 8
     robots_version: int = 1  # as-of version for robots rules (O14)

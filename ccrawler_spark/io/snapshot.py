@@ -1,0 +1,189 @@
+"""Iceberg-emulation snapshot store (SURVEY.md §7.4, §0.3).
+
+No Iceberg runtime jar exists in the sandbox, so this module reproduces
+the Iceberg semantics the engine needs — immutable Parquet data files,
+an atomic JSON manifest per snapshot, merge-on-read deletes, partition
+pruning, time travel to a snapshot id, resumability with per-partition
+lineage (BASELINE.json:6) — behind a small façade so a real Iceberg
+catalog can be dropped in unchanged (commit → Iceberg transaction,
+lineage → snapshot summary properties).
+
+Layout under ``root``:
+
+    manifests/manifest-{n:06d}.json     (atomic rename = commit point)
+    data/frontier/base-r{n}/            full frontier rewrite (bootstrap
+                                        + periodic compaction)
+    data/frontier/adds-r{n}/            per-round enqueued rows
+    data/frontier/removes-r{n}/         per-round equality-deletes
+                                        (url_hash, url) — Iceberg-v2
+                                        merge-on-read style
+    data/seen/delta-r{n}/seen_part=S/   append-only seen set, partitioned
+    data/fetch_log/round={n}/           append-only ordered fetch log
+    data/bloom/r{n}/                    bloom segment rows (delta)
+    data/metrics/r{n}/                  per-partition lineage rows
+
+``read_frontier(n)`` composes base ∪ adds − removes without rewriting
+the base — at design scale a round writes O(round) data, never O(10^10).
+Compaction (``compact_threshold``) bounds the delta chain length.
+
+A crashed round leaves orphan data dirs but no manifest → invisible to
+``latest()``; re-running the round is idempotent (SEMANTICS.md §6 step
+12) and ``gc_orphans()`` removes the debris.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccrawler_spark.conf import CrawlConf
+
+MANIFEST_FMT = "manifest-{n:06d}.json"
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str | os.PathLike, conf: CrawlConf,
+                 compact_threshold: int = 8):
+        self.spark = spark
+        self.root = pathlib.Path(root)
+        self.conf = conf
+        self.compact_threshold = compact_threshold
+        (self.root / "manifests").mkdir(parents=True, exist_ok=True)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+    def _mpath(self, n: int) -> pathlib.Path:
+        return self.root / "manifests" / MANIFEST_FMT.format(n=n)
+
+    def data_path(self, *parts: str) -> str:
+        return str(self.root / "data" / pathlib.Path(*parts))
+
+    # --------------------------------------------------------- manifests
+    def latest(self) -> int | None:
+        ms = sorted((self.root / "manifests").glob("manifest-*.json"))
+        return int(ms[-1].stem.split("-")[1]) if ms else None
+
+    def read_manifest(self, n: int) -> dict[str, Any]:
+        with open(self._mpath(n)) as f:
+            m = json.load(f)
+        if m.get("conf_fingerprint") != self.conf.fingerprint():
+            raise ValueError(
+                "conf fingerprint mismatch: manifest has "
+                f"{m.get('conf_fingerprint')}, runtime conf is "
+                f"{self.conf.fingerprint()} — resume refused (SURVEY.md §7.5)"
+            )
+        return m
+
+    def commit(self, n: int, manifest: dict[str, Any]) -> None:
+        """Atomic publish: write tmp in same dir, fsync, rename."""
+        manifest = dict(manifest)
+        manifest["snapshot_id"] = n
+        manifest["parent_id"] = n - 1 if n > 0 else None
+        manifest["conf_fingerprint"] = self.conf.fingerprint()
+        manifest["conf"] = json.loads(self.conf.to_json())
+        tmp = self._mpath(n).with_suffix(".json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._mpath(n))
+
+    # ----------------------------------------------------------- readers
+    def read_frontier(self, n: int) -> DataFrame:
+        """Merge-on-read composition of the frontier at snapshot n."""
+        fr = self.read_manifest(n)["frontier"]
+        return self.read_frontier_from(
+            fr["base"], fr["adds"], fr["removes"], fr.get("small_removes", True)
+        )
+
+    def read_frontier_from(
+        self,
+        base: str,
+        adds: list[str],
+        removes: list[str],
+        small_removes: bool = True,
+    ) -> DataFrame:
+        """base ∪ adds − removes (equality-deletes, merge-on-read)."""
+        df = self.spark.read.parquet(self.data_path(base))
+        add_dfs = [self.spark.read.parquet(self.data_path(p)) for p in adds]
+        if add_dfs:
+            df = reduce(DataFrame.unionByName, add_dfs, df)
+        rm_dfs = [self.spark.read.parquet(self.data_path(p)) for p in removes]
+        if rm_dfs:
+            rm = reduce(DataFrame.unionByName, rm_dfs)
+            df = df.join(rm.hint("broadcast") if small_removes else rm,
+                         on=["url_hash", "url"], how="left_anti")
+        return df
+
+    def read_seen(self, n: int) -> DataFrame:
+        """Union of append-only seen deltas (url_hash, url, seen_part).
+
+        Stored partitioned by ``seen_part`` so a probe restricted to a
+        few partitions prunes files via Catalyst partition discovery.
+        """
+        m = self.read_manifest(n)
+        dfs = [
+            self.spark.read.parquet(self.data_path(p))
+            for p in m["seen"]["deltas"]
+        ]
+        return reduce(DataFrame.unionByName, dfs)
+
+    def read_bloom(self, n: int) -> DataFrame:
+        """Latest bloom segment per host_bucket (delta chain, last wins)."""
+        m = self.read_manifest(n)
+        paths = [self.data_path(p) for p in m["bloom"]["deltas"]]
+        return self.spark.read.parquet(*paths)
+
+    def read_fetch_log(self, upto: int | None = None) -> DataFrame:
+        df = self.spark.read.parquet(self.data_path("fetch_log"))
+        if upto is not None:
+            df = df.filter(df["round"] <= upto)
+        return df
+
+    def read_metrics(self, n: int) -> DataFrame:
+        m = self.read_manifest(n)
+        return self.spark.read.parquet(*[self.data_path(p) for p in m["metrics"]["paths"]])
+
+    # ------------------------------------------------------------ writers
+    def write_parquet(self, df: DataFrame, *parts: str,
+                      partition_by: list[str] | None = None) -> str:
+        path = self.data_path(*parts)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return str(pathlib.Path(*parts))
+
+    # --------------------------------------------------------------- gc
+    def gc_orphans(self) -> list[str]:
+        """Remove data dirs not referenced by any committed manifest."""
+        latest = self.latest()
+        referenced: set[str] = set()
+        for n in range((latest + 1) if latest is not None else 0):
+            if not self._mpath(n).exists():
+                continue
+            m = json.load(open(self._mpath(n)))
+            fr = m["frontier"]
+            referenced.add(fr["base"])
+            referenced.update(fr["adds"])
+            referenced.update(fr["removes"])
+            referenced.update(m["seen"]["deltas"])
+            referenced.update(m["bloom"]["deltas"])
+            referenced.update(m["metrics"]["paths"])
+            referenced.add("fetch_log")
+        removed = []
+        for table_dir in (self.root / "data").iterdir():
+            if table_dir.name == "fetch_log":
+                continue
+            for d in table_dir.iterdir():
+                rel = str(pathlib.Path(table_dir.name) / d.name)
+                if rel not in referenced:
+                    shutil.rmtree(d)
+                    removed.append(rel)
+        return removed

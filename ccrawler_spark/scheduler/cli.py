@@ -1,0 +1,108 @@
+"""CLI runner: bootstrap + N scheduling rounds over a fixture dir.
+
+    python -m ccrawler_spark.scheduler.cli --size tiny --rounds 3 \
+        --out /tmp/crawl --cores 8
+
+Prints one JSON line per round (fetched/denied/enqueued/queued counts)
+and a final summary. ``--resume`` continues from the latest committed
+snapshot in --out instead of bootstrapping (E3, SEMANTICS.md §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_session(cores: int, shuffle_partitions: int | None = None):
+    import os
+    import pathlib
+
+    from pyspark.sql import SparkSession
+
+    # workers must import ccrawler_spark (UDFs); in a real cluster this is
+    # `spark-submit --py-files ccrawler_spark.zip` (BASELINE.json north_rule)
+    repo_root = str(pathlib.Path(__file__).resolve().parents[2])
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{existing}" if existing else repo_root
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName("ccrawler-spark")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores * 2, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .getOrCreate()
+    )
+
+
+def make_engine(spark, fixture_dir: str, out_dir: str, conf=None, size: str = "tiny"):
+    from ccrawler_spark import conf as confmod
+    from ccrawler_spark.io.snapshot import SnapshotStore
+    from ccrawler_spark.scheduler.engine import CrawlEngine
+
+    if conf is None:
+        conf = {"tiny": confmod.TINY, "small": confmod.SMALL, "bench": confmod.BENCH}[size]
+    store = SnapshotStore(spark, out_dir, conf)
+    corpus = spark.read.parquet(f"{fixture_dir}/corpus.parquet")
+    hosts = spark.read.parquet(f"{fixture_dir}/hosts.parquet")
+    robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
+    return CrawlEngine(spark, store, corpus, hosts, robots, conf), store
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="tiny", choices=["tiny", "small", "bench"])
+    ap.add_argument("--rounds", type=int, default=None)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--fixture-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ccrawler_spark.fixtures.gen import SIZES, ensure_fixtures
+
+    rounds = args.rounds if args.rounds is not None else SIZES[args.size][3]
+    fdir = args.fixture_dir or str(ensure_fixtures(args.size))
+
+    spark = build_session(args.cores)
+    engine, store = make_engine(spark, fdir, args.out, size=args.size)
+    t0 = time.time()
+    if args.resume:
+        start = store.latest()
+        if start is None:
+            print("nothing to resume from", file=sys.stderr)
+            return 2
+    else:
+        seeds = spark.read.parquet(f"{fdir}/seeds.parquet")
+        st = engine.bootstrap(seeds)
+        print(json.dumps({"round": 0, "queued": st.queued_after}))
+        start = 0
+    total_fetched = 0
+    for r in range(start + 1, rounds + 1):
+        st = engine.run_round(r)
+        total_fetched += st.fetched
+        print(json.dumps({
+            "round": r, "fetched": st.fetched, "denied": st.denied,
+            "enqueued": st.enqueued, "queued_after": st.queued_after,
+        }))
+    wall = time.time() - t0
+    m = store.read_manifest(store.latest())
+    print(json.dumps({
+        "rounds": rounds, "wall_s": round(wall, 2),
+        "fetched_total": m["counters"]["fetched_total"],
+        "urls_per_sec": round(m["counters"]["fetched_total"] / wall, 1),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

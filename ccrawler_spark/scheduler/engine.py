@@ -1,0 +1,329 @@
+"""The crawl engine: bootstrap + run_round orchestration (SURVEY.md §3).
+
+One engine round is a single declarative DataFrame DAG over the
+snapshot-store tables; the only driver-side state is the manifest
+(small JSON) and the collected bloom segments (≤ B × segment_bytes).
+Rounds are idempotent pure functions of (snapshot n-1, conf) — the
+virtual clock (SEMANTICS.md §6) and total-order keys make re-running a
+crashed round byte-identical, which is the resumability contract
+(BASELINE.json:6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StructField, StructType,
+)
+
+from ccrawler_spark.bloom import filter as bf
+from ccrawler_spark.conf import CrawlConf
+from ccrawler_spark.functions.spark_exprs import umod_long
+from ccrawler_spark.io.snapshot import SnapshotStore
+from ccrawler_spark.scheduler import stages
+from ccrawler_spark.scheduler.fetch import fetch_and_decode
+from ccrawler_spark.scheduler.seen import seen_dedup
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "host_bucket", "priority",
+    "discover_ts", "depth", "image_id", "status", "retry_count",
+]
+
+BLOOM_SCHEMA = StructType([
+    StructField("host_bucket", IntegerType()),
+    StructField("version", LongType()),
+    StructField("bits", BinaryType()),
+])
+
+
+@dataclass
+class RoundStats:
+    round: int
+    fetched: int
+    denied: int
+    enqueued: int
+    queued_after: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        corpus: DataFrame,
+        hosts: DataFrame,
+        robots: DataFrame,
+        conf: CrawlConf,
+    ):
+        self.spark = spark
+        self.store = store
+        self.corpus = corpus
+        self.hosts = hosts
+        self.H = hosts.count()
+        self.robots_active = stages.robots_active(robots, conf.robots_version).cache()
+        self.conf = conf
+
+    # ------------------------------------------------------------ bootstrap
+    def bootstrap(self, seeds: DataFrame) -> RoundStats:
+        """Seeds → snapshot 0 (SEMANTICS.md §6 bootstrap)."""
+        conf = self.conf
+        seeds = stages.normalize_urls(seeds.select("url"))
+        # canonical duplicates collapse to identical frontier rows
+        # (priority 0, discover_ts t0, depth 0) — keep-rule irrelevant
+        seeds = seeds.dropDuplicates(["url"])
+        frontier0 = (
+            stages.with_url_derivations(seeds, conf)
+            .withColumn("priority", F.lit(0))
+            .withColumn("discover_ts", F.timestamp_micros(F.lit(conf.t0_micros)))
+            .withColumn("depth", F.lit(0))
+            .withColumn("status", F.lit("queued"))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLS)
+            .repartition("host_bucket")
+            .cache()
+        )
+        base = self.store.write_parquet(
+            frontier0, "frontier", "base-r0", partition_by=["host_bucket"]
+        )
+        seen0 = frontier0.select(
+            "url_hash", "url",
+            umod_long(F.col("url_hash"), conf.seen_partitions)
+            .cast("int").alias("seen_part"),
+        )
+        seen_path = self.store.write_parquet(
+            seen0, "seen", "delta-r0", partition_by=["seen_part"]
+        )
+        bloom_path = self._write_bloom_delta(frontier0, {}, {}, 0)
+        seed_buckets = self._bucket_counts(frontier0)
+        lineage = self._lineage_from_counts(
+            prev={}, sched={}, denied={}, fresh=seed_buckets,
+            bloom_versions={b: 1 for b in seed_buckets},
+        )
+        metrics_path = self._write_metrics(lineage, 0)
+        self.store.commit(0, {
+            "round": 0,
+            "frontier": {"base": base, "adds": [], "removes": [],
+                          "small_removes": True},
+            "seen": {"deltas": [seen_path]},
+            "bloom": {"deltas": [bloom_path]},
+            "metrics": {"paths": [metrics_path]},
+            "counters": {"fetched_total": 0, "denied_total": 0},
+            "lineage": lineage,
+        })
+        n = frontier0.count()
+        frontier0.unpersist()
+        return RoundStats(0, 0, 0, n, n)
+
+    # ------------------------------------------------------------ run_round
+    def run_round(self, r: int) -> RoundStats:
+        """Snapshot r-1 → snapshot r (SEMANTICS.md §6)."""
+        conf = self.conf
+        store = self.store
+        prev = store.read_manifest(r - 1)
+        round_ts = conf.t0_micros + r * conf.round_period_micros
+
+        frontier = store.read_frontier(r - 1)
+
+        # 1. robots gate (broadcast join, Catalyst longest-prefix)
+        gated = stages.robots_gate(frontier, self.robots_active, conf)
+        denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS).cache()
+        allowed = gated.filter(F.col("allowed"))
+
+        # 2-4. dequeue: per-host top-k → budget K → politeness slots
+        scheduled = stages.dequeue(allowed, conf)
+        # 5. fetch sequence (cumulative seq across rounds)
+        seq_offset = prev["counters"]["fetched_total"]
+        scheduled = stages.with_fetch_sequence(scheduled, r, seq_offset).cache()
+
+        # 6. fetch join + decode invariants (Arrow crossing)
+        fetched = fetch_and_decode(scheduled, self.corpus)
+        fetch_log = fetched.select(
+            "seq", "url", "host", "host_bucket", "slot_ms", "priority",
+            "discover_ts", "depth", "fetch_ok", "pixels_ok", "caption_ok",
+            "phash_ok", "psnr_db",
+        )
+        self.store.write_parquet(fetch_log, "fetch_log", f"round={r}")
+
+        # 7-10. discovery → scope → in-round dedup → seen dedup
+        candidates = stages.discover_links(
+            scheduled, self.hosts, conf, self.H, round_ts
+        )
+        candidates = stages.dedup_in_round(candidates)
+        candidates = stages.as_frontier_rows(candidates, conf)
+        seen = store.read_seen(r - 1)
+        bloom_segments = self._load_bloom(r - 1)
+        fresh = seen_dedup(candidates, seen, conf, bloom_segments)
+        fresh = (
+            fresh.withColumn("status", F.lit("queued"))
+            .withColumn("retry_count", F.lit(0))
+            .select(*FRONTIER_COLS)
+            .repartition("host_bucket")
+            .cache()
+        )
+
+        # 11. frontier/seen/bloom updates (merge-on-read deltas)
+        adds_path = store.write_parquet(
+            fresh, "frontier", f"adds-r{r}", partition_by=["host_bucket"]
+        )
+        removes = scheduled.select("url_hash", "url").unionByName(
+            denied.select("url_hash", "url")
+        )
+        removes_path = store.write_parquet(removes, "frontier", f"removes-r{r}")
+        seen_delta = fresh.select(
+            "url_hash", "url",
+            umod_long(F.col("url_hash"), conf.seen_partitions)
+            .cast("int").alias("seen_part"),
+        )
+        seen_path = store.write_parquet(
+            seen_delta, "seen", f"delta-r{r}", partition_by=["seen_part"]
+        )
+        old_versions = {
+            int(b): v.get("bloom_version", 0) for b, v in prev["lineage"].items()
+        }
+        bloom_path = self._write_bloom_delta(
+            fresh, bloom_segments or {}, old_versions, r
+        )
+
+        # stats + lineage (incremental — never a full frontier scan)
+        n_fetched = scheduled.count()
+        n_denied = denied.count()
+        n_fresh = fresh.count()
+        fresh_counts = self._bucket_counts(fresh)
+        new_versions = dict(old_versions)
+        for b in fresh_counts:
+            new_versions[b] = new_versions.get(b, 0) + 1
+        lineage = self._lineage_from_counts(
+            prev=prev["lineage"],
+            sched=self._bucket_counts(scheduled),
+            denied=self._bucket_counts(denied),
+            fresh=fresh_counts,
+            bloom_versions=new_versions,
+        )
+        metrics_path = self._write_metrics(lineage, r)
+
+        # frontier delta-chain composition (+ compaction)
+        fr_prev = prev["frontier"]
+        adds = fr_prev["adds"] + [adds_path]
+        removes_list = fr_prev["removes"] + [removes_path]
+        base = fr_prev["base"]
+        if len(adds) >= self.store.compact_threshold:
+            composed = store.read_frontier_from(base, adds, removes_list)
+            base = store.write_parquet(
+                composed, "frontier", f"base-r{r}", partition_by=["host_bucket"]
+            )
+            adds, removes_list = [], []
+
+        self.store.commit(r, {
+            "round": r,
+            "frontier": {"base": base, "adds": adds, "removes": removes_list,
+                          "small_removes": True},
+            "seen": {"deltas": prev["seen"]["deltas"] + [seen_path]},
+            "bloom": {"deltas": prev["bloom"]["deltas"] + [bloom_path]},
+            "metrics": {"paths": prev["metrics"]["paths"] + [metrics_path]},
+            "counters": {
+                "fetched_total": seq_offset + n_fetched,
+                "denied_total": prev["counters"]["denied_total"] + n_denied,
+            },
+            "lineage": lineage,
+        })
+        queued_after = sum(v["frontier_offset"] for v in lineage.values())
+        scheduled.unpersist()
+        denied.unpersist()
+        fresh.unpersist()
+        return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
+
+    # ------------------------------------------------------------- helpers
+    def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
+        rows = df.groupBy("host_bucket").count().collect()
+        return {int(r["host_bucket"]): int(r["count"]) for r in rows}
+
+    def _lineage_from_counts(self, prev, sched, denied, fresh, bloom_versions):
+        buckets = set(prev) | set(sched) | set(denied) | set(fresh)
+        out = {}
+        for b in sorted(int(x) for x in buckets):
+            p = prev.get(str(b), prev.get(b, {}))
+            offset = (
+                p.get("frontier_offset", 0)
+                - sched.get(b, 0) - denied.get(b, 0) + fresh.get(b, 0)
+            )
+            out[str(b)] = {
+                "frontier_offset": offset,
+                "bloom_version": bloom_versions.get(b, p.get("bloom_version", 0)),
+                "fetched": sched.get(b, 0),
+                "denied": denied.get(b, 0),
+                "enqueued": fresh.get(b, 0),
+            }
+        return out
+
+    def _write_metrics(self, lineage: dict, r: int) -> str:
+        rows = [
+            (r, int(b), v["frontier_offset"], v["bloom_version"],
+             v["fetched"], v["denied"], v["enqueued"])
+            for b, v in lineage.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "round int, host_bucket int, frontier_offset long, "
+            "bloom_version long, fetched long, denied long, enqueued long",
+        )
+        return self.store.write_parquet(df.coalesce(1), "metrics", f"r{r}")
+
+    def _load_bloom(self, n: int) -> dict[int, np.ndarray]:
+        """Latest segment per bucket, collected to the driver (≤ B ×
+        segment bytes; at design scale tasks would fetch per-bucket
+        segments instead — SURVEY.md §4.3)."""
+        df = self.store.read_bloom(n)
+        w = Window.partitionBy("host_bucket").orderBy(F.col("version").desc())
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("host_bucket", "bits")
+        )
+        return {
+            int(row["host_bucket"]): np.frombuffer(row["bits"], dtype=np.uint8)
+            for row in latest.collect()
+        }
+
+    def _write_bloom_delta(
+        self,
+        fresh: DataFrame,
+        old_segments: dict[int, np.ndarray],
+        old_versions: dict[int, int],
+        r: int,
+    ) -> str:
+        """O22: per-bucket segment build/merge via applyInPandas."""
+        conf = self.conf
+        bc_old = self.spark.sparkContext.broadcast(
+            {b: s.tobytes() for b, s in old_segments.items()}
+        )
+        bc_ver = self.spark.sparkContext.broadcast(old_versions)
+        seg_bits = conf.bloom_segment_bits
+        num_hashes = conf.bloom_num_hashes
+
+        def build(key, pdf):
+            import pandas as pd
+
+            bucket = int(key[0])
+            old = bc_old.value.get(bucket)
+            seg = (
+                np.frombuffer(old, dtype=np.uint8).copy()
+                if old is not None
+                else bf.empty_segment(seg_bits)
+            )
+            seg = bf.add_keys(seg, pdf["url_hash"].to_numpy(np.int64), num_hashes)
+            return pd.DataFrame(
+                {
+                    "host_bucket": [bucket],
+                    "version": [bc_ver.value.get(bucket, 0) + 1],
+                    "bits": [seg.tobytes()],
+                }
+            )
+
+        delta = fresh.select("host_bucket", "url_hash").groupBy(
+            "host_bucket"
+        ).applyInPandas(build, BLOOM_SCHEMA)
+        return self.store.write_parquet(delta, "bloom", f"r{r}")

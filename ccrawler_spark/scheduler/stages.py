@@ -1,0 +1,231 @@
+"""Composable DataFrame stages of the scheduling round (SURVEY.md §3 E2).
+
+Each function is a declarative DataFrame→DataFrame transform; Catalyst
+fuses them into one plan per round (one action: the snapshot write).
+Python crossings are exactly: URL normalization tail (O6), bloom probe
+(O11), image decode (O41) — all Arrow-batched, never row-at-a-time
+(BASELINE.json:15). Everything else is JVM-side whole-stage codegen.
+
+Determinism discipline (docs/SEMANTICS.md §8): every window/sort here
+orders by the total key ORD = (priority, discover_ts, url_hash, url).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StringType
+
+from ccrawler_spark.conf import CrawlConf
+from ccrawler_spark.functions.spark_exprs import (
+    host_bucket,
+    host_from_url,
+    image_id_of,
+    path_from_url,
+    priority_of,
+    umod_long,
+    ushift_long,
+)
+
+ORD_COLS = ["priority", "discover_ts", "url_hash", "url"]
+
+
+def _ord(df_or_prefix: str | None = None) -> list[Column]:
+    if df_or_prefix:
+        return [F.col(f"{df_or_prefix}.{c}") for c in ORD_COLS]
+    return [F.col(c) for c in ORD_COLS]
+
+
+# --------------------------------------------------------------- O6: normalize
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Replace ``url_col`` with its canonical form via the batch
+    pandas_udf over the shared pure canonicalizer (O6); drop
+    out-of-scope rows."""
+    from ccrawler_spark.functions.udfs import canonical_url_udf
+
+    return (
+        df.withColumn(url_col, canonical_url_udf(F.col(url_col)))
+        .filter(F.col(url_col).isNotNull())
+    )
+
+
+def with_url_derivations(df: DataFrame, conf: CrawlConf) -> DataFrame:
+    """Attach url_hash/host/host_bucket/image_id to canonical ``url``."""
+    return (
+        df.withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", host_from_url(F.col("url")))
+        .withColumn("host_bucket", host_bucket(F.col("host"), conf.host_buckets))
+        .withColumn("image_id", image_id_of(F.col("url")))
+    )
+
+
+# ---------------------------------------------------------- O13/O14: robots
+def robots_active(robots: DataFrame, version: int) -> DataFrame:
+    """As-of the configured version: max version ≤ v per host (O14)."""
+    w = Window.partitionBy("host").orderBy(F.col("version").desc())
+    return (
+        robots.filter(F.col("version") <= version)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def robots_gate(frontier: DataFrame, active_rules: DataFrame, conf: CrawlConf) -> DataFrame:
+    """Attach ``allowed`` + ``crawl_delay_ms`` via a broadcast join and a
+    pure-Catalyst longest-prefix match over the rules array (O13):
+    filter the rules to prefix matches, array_max on (length, allow)
+    structs picks the longest. No UDF, no shuffle."""
+    path = path_from_url(F.col("url"))
+    best = F.array_max(
+        F.transform(
+            F.filter("rules", lambda r: F.startswith(path, r["pattern"])),
+            lambda r: F.struct(
+                F.length(r["pattern"]).alias("l"), r["allow"].alias("allow")
+            ),
+        )
+    )
+    return (
+        frontier.join(F.broadcast(active_rules), on="host", how="left")
+        .withColumn("allowed", F.coalesce(best["allow"], F.lit(True)))
+        .withColumn(
+            "crawl_delay_ms",
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(conf.default_crawl_delay_ms)),
+        )
+        .drop("rules", "version")
+    )
+
+
+# ------------------------------------------------- O24/O26/O27/O31: dequeue
+def dequeue(allowed: DataFrame, conf: CrawlConf) -> DataFrame:
+    """Per-host top-k → global budget K → politeness slots.
+
+    Skew handling (O24, "hot-host skew via salted repartitioning",
+    B:6): a two-phase top-k — phase 1 ranks within (host, salt) where
+    salt = umod(url_hash, fanout), keeping k rows per salt; phase 2
+    ranks the ≤ k·fanout survivors per host. Exact because each salt
+    keeps ≥ k candidates, and the phase-2 ordering is the same total
+    ORD. A hot host's frontier rows are spread over ``fanout``
+    partitions instead of one straggler task (AQE can split skewed
+    *joins* but not skewed *windows* — SURVEY.md §4.1).
+    """
+    ord_cols = _ord()
+    if conf.salting_enabled and conf.salt_fanout > 1:
+        salt = umod_long(F.col("url_hash"), conf.salt_fanout)
+        w1 = Window.partitionBy("host", salt).orderBy(*ord_cols)
+        allowed = (
+            allowed.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= conf.per_host_k)
+            .drop("_rn1")
+        )
+    w2 = Window.partitionBy("host").orderBy(*ord_cols)
+    topk = (
+        allowed.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= conf.per_host_k)
+        .drop("_rn")
+    )
+    # O31 global budget: TakeOrderedAndProject, no full sort at scale
+    budget = topk.orderBy(*ord_cols).limit(conf.round_budget)
+    # O27 politeness slots: virtual time within the round, per host
+    w3 = Window.partitionBy("host").orderBy(*ord_cols)
+    return budget.withColumn(
+        "slot_ms",
+        ((F.row_number().over(w3) - F.lit(1)) * F.col("crawl_delay_ms")).cast("long"),
+    )
+
+
+def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int) -> DataFrame:
+    """O29: total fetch order (slot_ms, host_bucket, host, url_hash, url).
+
+    The global row_number is a single-partition window — acceptable
+    because its input is already capped at K rows by the budget (the
+    full frontier never flows through it)."""
+    w = Window.orderBy("slot_ms", "host_bucket", "host", "url_hash", "url")
+    return (
+        scheduled.withColumn("seq", F.row_number().over(w) + F.lit(seq_offset - 1))
+        .withColumn("round", F.lit(round_no))
+    )
+
+
+# ------------------------------------------------------------ O39: discovery
+def discover_links(fetched: DataFrame, hosts: DataFrame, conf: CrawlConf, H: int,
+                   round_ts_micros: int) -> DataFrame:
+    """Deterministic outlink expansion (SEMANTICS.md §4), fully JVM-side.
+
+    deg ≤ 5, so the five candidate structs are built with *literal*
+    shift amounts and sliced to deg — keeps everything inside
+    whole-stage codegen (no UDF, no expr-string shifts). The hosts dim
+    (≤ 10^4 rows) is broadcast for the pages_i lookup. H = |hosts|.
+    """
+    k = F.col("url_hash")
+    deg = (umod_long(k, 5) + F.lit(1)).cast("int")
+    link_structs = [
+        F.struct(
+            F.lit(t).alias("t"),
+            umod_long(ushift_long(k, 8 * t), H).cast("int").alias("host_idx"),
+            ushift_long(k, 4 * t).alias("jraw"),
+        )
+        for t in range(5)
+    ]
+    parents = fetched.select(
+        F.col("url").alias("src_url"),
+        F.col("url_hash").alias("src_hash"),
+        F.col("depth").alias("src_depth"),
+        F.col("slot_ms"),
+        F.slice(F.array(*link_structs), 1, deg).alias("links"),
+    ).filter(F.col("src_depth") + 1 <= F.lit(conf.max_depth))  # O9 scope
+    exploded = parents.select(
+        "src_url", "src_hash", "src_depth", "slot_ms",
+        F.posexplode("links").alias("t", "link"),
+    )
+    joined = exploded.withColumn("host_idx", F.col("link.host_idx")).join(
+        F.broadcast(
+            hosts.select(
+                F.col("host_index").cast("int").alias("host_idx"),
+                F.col("pages"),
+                F.col("host").alias("target_host"),
+            )
+        ),
+        on="host_idx",
+        how="inner",
+    )
+    page = umod_long_col(F.col("link.jraw"), F.col("pages"))
+    return joined.select(
+        F.concat(
+            F.lit("http://"), F.col("target_host"), F.lit("/p/"), page.cast("string")
+        ).alias("url"),
+        (F.col("src_depth") + 1).cast("int").alias("depth"),
+        F.timestamp_micros(
+            F.lit(round_ts_micros) + F.col("slot_ms") * F.lit(1000)
+        ).alias("discover_ts"),
+        F.col("src_hash"),
+        F.col("t"),
+    )
+
+
+def umod_long_col(col: Column, m: Column) -> Column:
+    """Unsigned k_u % m with a *column* modulus (SEMANTICS.md §1; valid
+    for m < 2^31 — pages counts satisfy this by construction)."""
+    hi = F.shiftrightunsigned(col, 32)
+    lo = col.bitwiseAND(F.lit((1 << 32) - 1))
+    return F.pmod(hi * F.pmod(F.lit(1 << 32), m) + lo, m)
+
+
+def dedup_in_round(candidates: DataFrame) -> DataFrame:
+    """O28: deterministic keep-one per canonical url — smallest
+    (discover_ts, src_hash, t); never bare dropDuplicates."""
+    w = Window.partitionBy("url").orderBy("discover_ts", "src_hash", "t")
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "src_hash", "t")
+    )
+
+
+def as_frontier_rows(fresh: DataFrame, conf: CrawlConf) -> DataFrame:
+    """Attach queue keys to fresh candidates (priority per SEMANTICS §2)."""
+    df = with_url_derivations(fresh, conf)
+    return df.withColumn("priority", priority_of(F.col("url"))).select(
+        "url", "url_hash", "host", "host_bucket", "priority",
+        "discover_ts", "depth", "image_id",
+    )
