@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes relational surrogates of the crawl-scheduler
+operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
+operators (ccrawler_spark.textops) over the driver's testdata tables;
+``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
+match pairwise so the driver's order-insensitive value-hash compares
+cleanly. Non-SQL-expressible ops (LSH ANN, SRP near-dup, simhash
+banding) omit the oracle → rows-only check, and their exactness is
+covered by pytest instead (tests/test_textops.py).
 """
 
 from __future__ import annotations
@@ -12,27 +15,499 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccrawler_spark.textops.hashing import phash60_py, phash60_sql
+
+# deterministic ANN query vector, shared by Spark and SQL sides
+EMB_DIM = 64
+QUERY_VEC = [
+    ((phash60_py(f"q|{d}") % 2001) - 1000) / 1000.0 for d in range(EMB_DIM)
+]
+
+STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- queries
+def q_topk_per_group(spark, sf_dir):
+    """O26 surrogate: top-2 orders per customer (window top-k)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_priority_dequeue(spark, sf_dir):
+    """O31 surrogate: global budget top-100 by total priority order."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+
+
+def q_anti_join_dedup(spark, sf_dir):
+    """O12 surrogate (seen-set anti-join): drop each user's first-seen
+    event id — exactly the frontier-candidate ∖ seen shape."""
+    ev = _t(spark, sf_dir, "events")
+    seen = ev.groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+    return (
+        ev.join(seen.select("event_id"), on="event_id", how="left_anti")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    """O27 surrogate: politeness-style gap to previous event per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (session UTC)
+    ts = F.col("ts").cast("timestamp")
+    gap = (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))) / 1e6
+    return ev.select(
+        "event_id", "user_id", F.round(gap, 6).alias("gap_s")
+    )
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """O25 surrogate: lineage metrics rollup."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+def q_hot_key_detection(spark, sf_dir):
+    """O24 surrogate: hot keys above a fixed threshold."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 75)
+    )
+
+
+def q_asof_latest(spark, sf_dir):
+    """O14 surrogate: latest event per user (as-of max version)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def q_set_union(spark, sf_dir):
+    """O33/O34 surrogate: distinct union of two key sets."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """O13/O15 surrogate: fact ⋈ broadcast dims, grouped."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_bucket_histogram(spark, sf_dir):
+    """O8/O20 surrogate: partition-bucket histogram."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(64)).alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ----------------------------------------------------- training-data ops
+def q_dedup_exact(spark, sf_dir):
+    from ccrawler_spark.textops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from ccrawler_spark.textops.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(16)]
+    )
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    from ccrawler_spark.textops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ccrawler_spark.textops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def q_simhash(spark, sf_dir):
+    from ccrawler_spark.textops.dedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    from ccrawler_spark.textops.textstats import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from ccrawler_spark.textops.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    from ccrawler_spark.textops.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from ccrawler_spark.textops.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from ccrawler_spark.textops.similarity import ann_topk_bruteforce
+
+    return ann_topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10
+    )
+
+
+def q_ann_cosine_topk_lsh(spark, sf_dir):
+    """Approximate ANN (SRP bucket ring) — no SQL oracle; exactness vs
+    brute force is asserted in tests/test_textops.py."""
+    from ccrawler_spark.textops.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """SRP-bucketed cosine near-dup pairs — rows-only check."""
+    from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """Banded simhash near-dups — rows-only check."""
+    from ccrawler_spark.textops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: priority-dequeue surrogate (the scheduler's O26 heart)
+    on sf0.001."""
+    return q_topk_per_group(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "topk_per_group": q_topk_per_group,
+        "priority_dequeue": q_priority_dequeue,
+        "anti_join_dedup": q_anti_join_dedup,
+        "window_lag": q_window_lag,
+        "rollup_metrics": q_rollup_metrics,
+        "hot_key_detection": q_hot_key_detection,
+        "asof_latest": q_asof_latest,
+        "set_union": q_set_union,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "bucket_histogram": q_bucket_histogram,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "simhash_near_pairs": q_simhash_near_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+def _h(expr: str) -> str:
+    return phash60_sql(expr)
+
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _shingles(k: int = 3) -> str:
+    """DuckDB word-k-shingles (distinct), matching textops.word_shingles."""
+    mk = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        f"(SELECT list_distinct(CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(range(1, len(w) - {k} + 2), i -> {mk}) "
+        f"ELSE [w[1]] END) FROM (SELECT {_TOKENS} w))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    minhash_cols = ", ".join(
+        "list_min(list_transform(sh, s -> {h})) AS sig_{i}".format(
+            h=_h("s || '|%d'" % i), i=i
+        )
+        for i in range(16)
+    )
+    q = ", ".join(f"CAST({x} AS DOUBLE)" for x in map(str, QUERY_VEC))
+    from ccrawler_spark.textops.textstats import LANG_MARKERS
+
+    codes = sorted(LANG_MARKERS)
+    sel_counts = ", ".join(
+        f"len(list_filter({_TOKENS}, t -> list_contains("
+        f"{list(LANG_MARKERS[c])!r}, t))) AS c_{c}"
+        for c in codes
+    )
+    # argmax, ties → earliest (ascending) code: evaluate codes in
+    # ascending order with >= against all others
+    pred_case = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'c_{c} >= c_{o}' for o in codes if o != c)} "
+        f"THEN '{c}'"
+        for c in codes
+    ) + " END"
+    hits = f"greatest({', '.join('c_' + c for c in codes)})"
+
+    # simhash: Σ_b 2^b · [Σ_tokens (±1 by bit b) > 0]; token hashes are
+    # 60-bit non-negative so >> is the same as unsigned shift
+    simhash_sum = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    # LSH bands: bucket_b = phash60(sig[2b] || ',' || sig[2b+1])
+    band_values = ", ".join(f"({b})" for b in range(8))
+    band_bucket = (
+        "CASE band "
+        + " ".join(
+            "WHEN {b} THEN {h}".format(
+                b=b,
+                h=_h(
+                    f"CAST(sig_{2*b} AS VARCHAR) || ',' || "
+                    f"CAST(sig_{2*b+1} AS VARCHAR)"
+                ),
+            )
+            for b in range(8)
+        )
+        + " END"
+    )
+    sig_list = "[" + ", ".join(f"sig_{i}" for i in range(16)) + "]"
+
+    return {
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 2
+        """,
+        "priority_dequeue": """
+            SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+            ORDER BY o_orderpriority, o_orderdate, o_orderkey LIMIT 100
+        """,
+        "anti_join_dedup": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id NOT IN (SELECT min(event_id) FROM events
+                                   GROUP BY user_id)
+        """,
+        "window_lag": """
+            SELECT event_id, user_id,
+                   round(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id))
+                     AS DOUBLE) / 1e6, 6) AS gap_s
+            FROM events
+        """,
+        "rollup_metrics": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "hot_key_detection": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id HAVING count(*) >= 75
+        """,
+        "asof_latest": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
+        "set_union": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "broadcast_dim_join": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "bucket_histogram": """
+            SELECT o_orderkey % 64 AS bucket, count(*) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "dedup_exact": f"""
+            SELECT {_h('text')} AS text_hash, min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"""
+            SELECT doc_id, {minhash_cols}
+            FROM (SELECT doc_id, {_shingles(3)} AS sh FROM documents)
+        """,
+        "token_stats": f"""
+            SELECT doc_id, length(text) AS n_chars_actual,
+                   len({_TOKENS}) AS n_tokens,
+                   len(list_distinct({_TOKENS})) AS n_distinct_tokens,
+                   round(CAST(length(text) AS DOUBLE) / len({_TOKENS}), 4)
+                     AS avg_token_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH b AS (
+              SELECT doc_id,
+                CAST(len({_TOKENS}) AS DOUBLE) AS n_tok,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                CAST(len(list_filter({_TOKENS},
+                  t -> list_contains({STOP_SQL}, t))) AS DOUBLE)
+                  / greatest(CAST(len({_TOKENS}) AS DOUBLE), 1.0) AS stop_ratio
+              FROM documents)
+            SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(0.4 * least(1.0, n_tok / 50.0)
+                       + 0.3 * greatest(0.0, 1.0 - punct_ratio * 10.0)
+                       + 0.3 * least(1.0, stop_ratio * 5.0), 6) AS quality
+            FROM b
+        """,
+        "lang_id": f"""
+            WITH c AS (SELECT doc_id, lang AS lang_label, {sel_counts}
+                       FROM documents)
+            SELECT doc_id, lang_label, {pred_case} AS lang_pred,
+                   {hits} AS marker_hits
+            FROM c
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, {_h('text')} AS content_hash,
+                   list_min(list_transform(
+                     list_transform(range(1, greatest(len(w) - 6, 2)),
+                       i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))}),
+                     s -> {_h('s')})) AS rolling_min_hash
+            FROM (SELECT doc_id, text, {_TOKENS} w FROM documents)
+        """,
+        "simhash": f"""
+            SELECT doc_id, ({simhash_sum}) AS simhash
+            FROM (SELECT doc_id,
+                    list_transform({_TOKENS}, t -> {_h('t')}) AS th
+                  FROM documents)
+        """,
+        "lsh_candidate_pairs": f"""
+            WITH sigs AS (
+              SELECT doc_id, {minhash_cols}
+              FROM (SELECT doc_id, {_shingles(3)} AS sh FROM documents)
+            ), banded AS (
+              SELECT doc_id, {sig_list} AS sig, band, bucket
+              FROM sigs, (VALUES {band_values}) AS b(band),
+              LATERAL (SELECT {band_bucket} AS bucket)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_filter(range(1, 17),
+                     i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16.0
+                     AS est_jaccard
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH sigs AS (
+              SELECT doc_id, sh, {minhash_cols}
+              FROM (SELECT doc_id, {_shingles(3)} AS sh FROM documents)
+            ), banded AS (
+              SELECT doc_id, sh, band, bucket
+              FROM sigs, (VALUES {band_values}) AS b(band),
+              LATERAL (SELECT {band_bucket} AS bucket)
+            ), cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                     / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 6)
+                     AS jaccard
+            FROM cands
+            WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.1
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT [{q}] AS qv)
+            SELECT vec_id, label,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,82 @@
+"""Driver bench harness: times the headline queries from
+``__spark_entry__.queries()`` plus one full crawl scheduling round, at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+The crawl engine's own scaling bench (local[8] vs local[32], BASELINE.md
+protocol) lives in bench/run_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: every operator family, skipping only the quadratic
+# demo variants that duplicate already-timed ops
+HEADLINE = [
+    "topk_per_group", "priority_dequeue", "anti_join_dedup", "window_lag",
+    "rollup_metrics", "hot_key_detection", "asof_latest", "set_union",
+    "broadcast_dim_join", "bucket_histogram", "dedup_exact",
+    "minhash_signatures", "lsh_candidate_pairs", "simhash", "token_stats",
+    "quality_score", "lang_id", "fingerprint", "ann_cosine_topk",
+    "ann_cosine_topk_lsh", "embedding_near_dup",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from ccrawler_spark.scheduler.cli import build_session
+
+    spark = build_session(CPUS)
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        # count() forces full execution without driver-side collect cost
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # one full scheduling round of the crawl engine on the tiny fixture
+    from ccrawler_spark.fixtures.gen import ensure_fixtures
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    fdir = str(ensure_fixtures("tiny"))
+    with tempfile.TemporaryDirectory() as out:
+        engine, _ = make_engine(spark, fdir, out, size="tiny")
+        seeds = spark.read.parquet(f"{fdir}/seeds.parquet")
+        engine.bootstrap(seeds)
+        t0 = time.time()
+        engine.run_round(1)
+        timings["crawl_round"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    print(json.dumps({
+        "metric": "headline query suite + one crawl round, wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -66,9 +66,7 @@ def phash_of(pixels: np.ndarray) -> int:
     th, tw = h // 8, w // 8
     cells = gray.reshape(8, th, 8, tw).mean(axis=(1, 3))
     bits = (cells > cells.mean()).ravel()  # row-major, MSB-first
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

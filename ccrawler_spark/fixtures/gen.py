@@ -31,7 +31,7 @@ SIZES = {
     # name: (hosts H, universe target U, n_seeds, rounds)
     "tiny": (20, 1_000, 10, 3),
     "small": (500, 100_000, 100, 5),
-    "bench": (10_000, 1_000_000, 1_000, 3),
+    "bench": (10_000, 10_000_000, 1_000, 3),
 }
 
 ZIPF_S = 1.2
@@ -162,6 +162,46 @@ def ensure_fixtures(size: str, with_corpus: bool = True) -> pathlib.Path:
     if with_corpus:
         pq.write_table(gen_corpus(urls), out / "corpus.parquet")
     marker.touch()
+    return out
+
+
+def ensure_bench_fixtures(spark) -> pathlib.Path:
+    """Bench-size fixtures with the 10^6-row corpus synthesized in
+    parallel via mapInPandas (0.6 ms/image × 10^6 is a Spark job, not a
+    driver loop). Deterministic per row ⇒ parallelism-safe."""
+    size = "bench"
+    H, U, n_seeds, _rounds = SIZES[size]
+    out = FIXTURE_ROOT / size
+    if (out / "_DONE_FULL").exists():
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+    pages = page_allocation(H, U)
+    pq.write_table(gen_hosts(H, pages), out / "hosts.parquet")
+    urls = list(universe_urls(H, pages))
+    pq.write_table(gen_seeds(urls, n_seeds), out / "seeds.parquet")
+    pq.write_table(gen_robots(H), out / "robots.parquet")
+
+    def synth(batches):
+        import pandas as pd
+
+        from ccrawler_spark.fixtures import corpus as corpus_mod
+
+        for pdf in batches:
+            rows = [corpus_mod.corpus_row(u) for u in pdf["url"]]
+            yield pd.DataFrame(rows)
+
+    urls_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long"
+    )
+    (
+        urls_df.repartition(64)
+        .mapInPandas(synth, schema)
+        .write.mode("overwrite")
+        .parquet(str(out / "corpus.parquet"))
+    )
+    (out / "_DONE_FULL").touch()
     return out
 
 

@@ -29,11 +29,20 @@ def build_session(cores: int, shuffle_partitions: int | None = None):
     if repo_root not in existing.split(":"):
         os.environ["PYTHONPATH"] = f"{repo_root}:{existing}" if existing else repo_root
 
+    # one BLAS thread per Python worker: N workers × M BLAS threads
+    # oversubscribes the box quadratically (32×32 threads thrash); the
+    # codec matrices are 8×8 — single-threaded BLAS is optimal
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("ccrawler-spark")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores * 2, 8)))
+        # fixed partition count across parallelism levels: the scaling
+        # comparison (local[8] vs local[32]) must run the same plan
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 64))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

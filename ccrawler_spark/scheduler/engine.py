@@ -128,9 +128,10 @@ class CrawlEngine:
 
         frontier = store.read_frontier(r - 1)
 
-        # 1. robots gate (broadcast join, Catalyst longest-prefix)
-        gated = stages.robots_gate(frontier, self.robots_active, conf)
-        denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS).cache()
+        # 1. robots gate (broadcast join, Catalyst longest-prefix);
+        # cached so the frontier is scanned once for dequeue AND denials
+        gated = stages.robots_gate(frontier, self.robots_active, conf).cache()
+        denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS)
         allowed = gated.filter(F.col("allowed"))
 
         # 2-4. dequeue: per-host top-k → budget K → politeness slots
@@ -139,14 +140,25 @@ class CrawlEngine:
         seq_offset = prev["counters"]["fetched_total"]
         scheduled = stages.with_fetch_sequence(scheduled, r, seq_offset).cache()
 
-        # 6. fetch join + decode invariants (Arrow crossing)
+        # materialize the dequeue once; everything downstream (fetch,
+        # discovery, removes) reuses the cache
+        scheduled.count()
+
+        # 6. fetch join + decode invariants (Arrow crossing) — launched
+        # on a driver thread so the decode overlaps the discovery path
+        # below (independent given the scheduled cache)
+        from concurrent.futures import ThreadPoolExecutor
+
         fetched = fetch_and_decode(scheduled, self.corpus)
         fetch_log = fetched.select(
             "seq", "url", "host", "host_bucket", "slot_ms", "priority",
             "discover_ts", "depth", "fetch_ok", "pixels_ok", "caption_ok",
             "phash_ok", "psnr_db",
         )
-        self.store.write_parquet(fetch_log, "fetch_log", f"round={r}")
+        log_pool = ThreadPoolExecutor(max_workers=1)
+        log_job = log_pool.submit(
+            self.store.write_parquet, fetch_log, "fetch_log", f"round={r}"
+        )
 
         # 7-10. discovery → scope → in-round dedup → seen dedup
         candidates = stages.discover_links(
@@ -165,41 +177,71 @@ class CrawlEngine:
             .cache()
         )
 
-        # 11. frontier/seen/bloom updates (merge-on-read deltas)
-        adds_path = store.write_parquet(
-            fresh, "frontier", f"adds-r{r}", partition_by=["host_bucket"]
-        )
-        removes = scheduled.select("url_hash", "url").unionByName(
-            denied.select("url_hash", "url")
-        )
-        removes_path = store.write_parquet(removes, "frontier", f"removes-r{r}")
-        seen_delta = fresh.select(
-            "url_hash", "url",
-            umod_long(F.col("url_hash"), conf.seen_partitions)
-            .cast("int").alias("seen_part"),
-        )
-        seen_path = store.write_parquet(
-            seen_delta, "seen", f"delta-r{r}", partition_by=["seen_part"]
-        )
+        # stats first (scheduled/fresh cached, denied reads the gated
+        # cache): one groupBy-collect per side, counts derived — so empty
+        # deltas are skipped entirely (a file-less partitioned parquet
+        # dir is unreadable, and empty rounds are normal once the
+        # frontier drains). The three collects run concurrently: in
+        # local mode the driver's job/task dispatch loop is a serial
+        # bottleneck, so independent jobs are overlapped from threads.
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_sched = ex.submit(self._bucket_counts, scheduled)
+            f_denied = ex.submit(self._bucket_counts, denied)
+            f_fresh = ex.submit(self._bucket_counts, fresh)
+            sched_counts = f_sched.result()
+            denied_counts = f_denied.result()
+            fresh_counts = f_fresh.result()
+        n_fetched = sum(sched_counts.values())
+        n_denied = sum(denied_counts.values())
+        n_fresh = sum(fresh_counts.values())
+
+        # 11. frontier/seen/bloom updates (merge-on-read deltas) —
+        # independent outputs, written concurrently (determinism is
+        # unaffected: each write's content is a pure function of the
+        # cached inputs)
         old_versions = {
             int(b): v.get("bloom_version", 0) for b, v in prev["lineage"].items()
         }
-        bloom_path = self._write_bloom_delta(
-            fresh, bloom_segments or {}, old_versions, r
-        )
-
-        # stats + lineage (incremental — never a full frontier scan)
-        n_fetched = scheduled.count()
-        n_denied = denied.count()
-        n_fresh = fresh.count()
-        fresh_counts = self._bucket_counts(fresh)
+        jobs = {}
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            if n_fresh:
+                jobs["adds"] = ex.submit(
+                    store.write_parquet, fresh, "frontier", f"adds-r{r}",
+                    partition_by=["host_bucket"],
+                )
+                seen_delta = fresh.select(
+                    "url_hash", "url",
+                    umod_long(F.col("url_hash"), conf.seen_partitions)
+                    .cast("int").alias("seen_part"),
+                )
+                jobs["seen"] = ex.submit(
+                    store.write_parquet, seen_delta, "seen", f"delta-r{r}",
+                    partition_by=["seen_part"],
+                )
+                jobs["bloom"] = ex.submit(
+                    self._write_bloom_delta, fresh, bloom_segments or {},
+                    old_versions, r,
+                )
+            if n_fetched + n_denied:
+                removes = scheduled.select("url_hash", "url").unionByName(
+                    denied.select("url_hash", "url")
+                )
+                jobs["removes"] = ex.submit(
+                    store.write_parquet, removes, "frontier", f"removes-r{r}"
+                )
+        adds_path = jobs["adds"].result() if "adds" in jobs else None
+        seen_path = jobs["seen"].result() if "seen" in jobs else None
+        bloom_path = jobs["bloom"].result() if "bloom" in jobs else None
+        removes_path = jobs["removes"].result() if "removes" in jobs else None
+        log_job.result()  # fetch_log must be durable before the commit
+        log_pool.shutdown()
         new_versions = dict(old_versions)
         for b in fresh_counts:
             new_versions[b] = new_versions.get(b, 0) + 1
         lineage = self._lineage_from_counts(
             prev=prev["lineage"],
-            sched=self._bucket_counts(scheduled),
-            denied=self._bucket_counts(denied),
+            sched=sched_counts,
+            denied=denied_counts,
             fresh=fresh_counts,
             bloom_versions=new_versions,
         )
@@ -207,8 +249,8 @@ class CrawlEngine:
 
         # frontier delta-chain composition (+ compaction)
         fr_prev = prev["frontier"]
-        adds = fr_prev["adds"] + [adds_path]
-        removes_list = fr_prev["removes"] + [removes_path]
+        adds = fr_prev["adds"] + ([adds_path] if adds_path else [])
+        removes_list = fr_prev["removes"] + ([removes_path] if removes_path else [])
         base = fr_prev["base"]
         if len(adds) >= self.store.compact_threshold:
             composed = store.read_frontier_from(base, adds, removes_list)
@@ -221,8 +263,10 @@ class CrawlEngine:
             "round": r,
             "frontier": {"base": base, "adds": adds, "removes": removes_list,
                           "small_removes": True},
-            "seen": {"deltas": prev["seen"]["deltas"] + [seen_path]},
-            "bloom": {"deltas": prev["bloom"]["deltas"] + [bloom_path]},
+            "seen": {"deltas": prev["seen"]["deltas"]
+                     + ([seen_path] if seen_path else [])},
+            "bloom": {"deltas": prev["bloom"]["deltas"]
+                      + ([bloom_path] if bloom_path else [])},
             "metrics": {"paths": prev["metrics"]["paths"] + [metrics_path]},
             "counters": {
                 "fetched_total": seq_offset + n_fetched,
@@ -232,7 +276,7 @@ class CrawlEngine:
         })
         queued_after = sum(v["frontier_offset"] for v in lineage.values())
         scheduled.unpersist()
-        denied.unpersist()
+        gated.unpersist()
         fresh.unpersist()
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
 

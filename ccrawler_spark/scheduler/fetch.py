@@ -78,16 +78,22 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             expected = ref.pixels_of(urls[i])
             if expected.shape != dec.shape:
                 continue
-            p = codecs.psnr(expected, dec)
-            out["psnr_db"][i] = p if p != float("inf") else 999.0
             if fmts[i] == "dct8":
+                p = codecs.psnr(expected, dec)
+                out["psnr_db"][i] = p if p != float("inf") else 999.0
                 out["pixels_ok"][i] = bool(p >= 40.0)
                 dist = bin(
                     (ref.phash_of(dec) ^ phashes[i]) & ((1 << 64) - 1)
                 ).count("1")
                 out["phash_ok"][i] = dist <= 2
             else:
-                out["pixels_ok"][i] = bool(np.array_equal(expected, dec))
+                eq = bool(np.array_equal(expected, dec))
+                out["pixels_ok"][i] = eq
+                # lossless + equal ⇒ PSNR is +inf by definition; only
+                # compute it for a failing row (diagnostic)
+                out["psnr_db"][i] = (
+                    999.0 if eq else codecs.psnr(expected, dec)
+                )
                 out["phash_ok"][i] = ref.phash_of(dec) == phashes[i]
             out["caption_ok"][i] = ref.caption_of(urls[i]) == caps[i]
         yield pa.RecordBatch.from_pydict(
@@ -118,9 +124,16 @@ def fetch_and_decode(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
         scheduled.select("image_id", "url").hint("broadcast"),
         on="image_id", how="inner",
     )
-    checks = hits.select(
-        "url", "bytes", "fmt", "caption", "phash"
-    ).mapInArrow(_decode_batches, StructType(DECODE_CHECK_FIELDS))
+    # AQE coalesces the join output toward 64MB partitions, which starves
+    # the Arrow workers (decode is CPU-bound, ~0.5 ms/image, not
+    # IO-bound) — spread the batch across every core before the UDF
+    spark = scheduled.sparkSession
+    n_slots = spark.sparkContext.defaultParallelism * 2
+    checks = (
+        hits.select("url", "bytes", "fmt", "caption", "phash")
+        .repartition(n_slots)
+        .mapInArrow(_decode_batches, StructType(DECODE_CHECK_FIELDS))
+    )
     out = scheduled.join(checks.hint("broadcast"), on="url", how="left")
     return (
         out.withColumn("fetch_ok", F.coalesce("fetch_ok", F.lit(False)))

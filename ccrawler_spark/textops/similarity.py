@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+variant (deterministic sign-random-projection) is the scale path —
+candidate generation touches only the query's bucket ring instead of
+the full corpus. Dot products are JVM-side ``F.zip_with`` +
+``F.aggregate`` (whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import phash60_py
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_to_query(embeddings: DataFrame, query_vec: list[float],
+                    vec_col: str = "embedding") -> DataFrame:
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return embeddings.withColumn("cosine", F.round(cos, 4))
+
+
+def ann_topk_bruteforce(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                        id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine (ties by id) — TakeOrderedAndProject, the
+    scan is never materialized or shuffled."""
+    scored = cosine_to_query(embeddings, query_vec)
+    return (
+        scored.select(id_col, "label", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the portable hash —
+    reproducible across engines and sessions (no RNG state). ``table``
+    seeds independent plane sets for OR-amplified multi-table LSH."""
+    planes = []
+    for p in range(n_planes):
+        v = [
+            ((phash60_py(f"plane|{table}|{p}|{d}") % 2001) - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id: bit p = 1 iff v · plane_p > 0."""
+    bits = [
+        F.when(_dot(vec_col, F.array(*[F.lit(x) for x in plane])) > 0,
+               F.lit(1 << p)).otherwise(F.lit(0))
+        for p, plane in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP bucket is within
+    Hamming ≤ 1 of the query's bucket (bucket ring). At 100 TB the
+    bucket column is precomputed+partitioned-by, so a query prunes to
+    (n_planes+1)/2^n_planes of the corpus; here it is computed inline.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if sum(q * x for q, x in zip(query_vec, plane)) > 0:
+            qbits |= 1 << p
+    ring = [qbits] + [qbits ^ (1 << p) for p in range(n_planes)]
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket_col(F.col("embedding"), planes)
+    )
+    cands = bucketed.filter(F.col("bucket").isin(ring))
+    return ann_topk_bruteforce(cands.drop("bucket"), query_vec, k, id_col)
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup: OR-amplified SRP blocking — L
+    independent hash tables (a true pair at cos≈0.99 lands in the same
+    bucket of at least one table with P ≈ 1-(1-0.96^k)^L > 0.999),
+    self-join per (table, bucket), then exact cosine ≥ threshold.
+    The join shuffles (table, bucket, id, vector), never all-pairs."""
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    buckets = F.array(
+        *[
+            lsh_bucket_col(F.col("embedding"), _hyperplanes(dim, n_planes, t))
+            for t in range(n_tables)
+        ]
+    )
+    b = embeddings.select(
+        "vec_id", "embedding", F.posexplode(buckets).alias("table", "bucket")
+    )
+    left = b.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("v_a"), "table", "bucket")
+    right = b.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("v_b"), "table", "bucket")
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )

@@ -1,0 +1,173 @@
+"""Training-data pipeline operators (textops): semantic tests beyond the
+driver's SQL-oracle equality — dedup behavior, ANN recall, multimodal
+plumbing (SURVEY-adjacent ops graded as first-class)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+    (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # dup
+    (2, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near
+    (3, "completely different text about spark engines and shuffles", "en", "s", 58),
+    (4, "one two three four five six seven eight nine ten eleven", "en", "s", 55),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    from ccrawler_spark.textops.dedup import exact_dedup
+
+    rows = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse, min doc_id survives
+    assert 1 not in rows
+    assert rows[2] == 1
+
+
+def test_minhash_identical_and_near(docs):
+    from ccrawler_spark.textops.dedup import lsh_candidate_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: full signature match
+    if (0, 2) in pairs:  # near-dup likely shares bands
+        assert pairs[(0, 2)] > 0.3
+
+
+def test_ngram_jaccard_exact_values(docs):
+    from ccrawler_spark.textops.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_simhash_identical_equal_near_close(docs):
+    from ccrawler_spark.textops.dedup import simhash64
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[0] == h[1]
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[3]).count("1")
+    assert ham_near < ham_far
+
+
+def _planted_embeddings(spark, n_base=40, copies=3, dim=32):
+    """Deterministic clusters: each base vector gets noisy copies with
+    cosine ≈ 0.99 — the regime SRP-LSH is for (near-dup search)."""
+    from ccrawler_spark.textops.hashing import phash60_py
+
+    rows = []
+    vid = 0
+    for b in range(n_base):
+        base = np.array(
+            [((phash60_py(f"base|{b}|{d}") % 2001) - 1000) / 1000.0
+             for d in range(dim)]
+        )
+        base /= np.linalg.norm(base)
+        for c in range(copies):
+            noise = np.array(
+                [((phash60_py(f"n|{b}|{c}|{d}") % 2001) - 1000) / 20000.0
+                 for d in range(dim)]
+            )
+            v = base + noise
+            rows.append((vid, [float(x) for x in v], b))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_ann_lsh_finds_planted_neighbors(spark):
+    """On clustered data (cos≈0.99 within a cluster) the SRP bucket
+    ring must recover what brute force finds."""
+    from ccrawler_spark.textops.similarity import (
+        ann_topk_bruteforce, ann_topk_lsh,
+    )
+
+    emb = _planted_embeddings(spark)
+    query = emb.filter("vec_id = 0").first()["embedding"]
+    exact = [r["vec_id"] for r in ann_topk_bruteforce(emb, query, 3).collect()]
+    approx = [r["vec_id"] for r in ann_topk_lsh(emb, query, 3).collect()]
+    assert set(exact) == {0, 1, 2}  # the planted cluster
+    assert set(approx) == set(exact)
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark):
+    """SRP-bucketed near-dup join recovers ≥90% of true pairs ≥0.95
+    (single-bucket blocking misses pairs straddling a hyperplane)."""
+    from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
+
+    emb = _planted_embeddings(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    truth = {
+        (b * 3 + i, b * 3 + j)
+        for b in range(40)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    assert got <= truth | got  # no false positives below threshold checked next
+    assert all(a // 3 == b // 3 for a, b in got)  # only intra-cluster pairs
+    assert len(got & truth) >= 0.9 * len(truth)
+
+
+def test_image_features_real_decode(spark, tiny_fixtures):
+    from ccrawler_spark.fixtures import corpus as ref
+    from ccrawler_spark.textops.multimodal import image_features
+
+    corpus = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet").limit(20)
+    feats = {r["image_id"]: r for r in image_features(corpus).collect()}
+    assert len(feats) == 20
+    # spot-check one row against a direct numpy computation
+    row = corpus.select("image_id").first()
+    # find the url for this image_id by brute force over the tiny universe
+    import duckdb
+
+    con = duckdb.connect()
+    hosts = con.execute(
+        f"SELECT host, pages FROM '{tiny_fixtures}/hosts.parquet'"
+    ).fetchall()
+    url = None
+    for h, pages in hosts:
+        for j in range(int(pages)):
+            u = f"http://{h}/p/{j}"
+            if ref.image_id(u) == row["image_id"]:
+                url = u
+                break
+        if url:
+            break
+    px = ref.pixels_of(url).astype(np.float64)
+    got = feats[row["image_id"]]
+    assert abs(got["mean_r"] - px[:, :, 0].mean()) < 1e-9
+    assert got["w"] == px.shape[1] and got["h"] == px.shape[0]
+    assert len(got["thumb_8x8"]) == 64
+
+
+def test_image_resize_shape(spark, tiny_fixtures):
+    from ccrawler_spark.textops.multimodal import image_resize
+
+    corpus = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet").limit(5)
+    rows = image_resize(corpus, 16, 16).collect()
+    assert all(len(r["pixels"]) == 16 * 16 * 3 for r in rows)
+
+
+def test_audio_video_stubs_raise(spark):
+    from ccrawler_spark.textops.multimodal import audio_features
+
+    df = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
+    with pytest.raises(Exception):  # NotImplementedError via PythonException
+        audio_features(df).collect()
