@@ -51,4 +51,4 @@ SMALL = CrawlConf(round_budget=2_000)
 # bench trades politeness strictness for per-round work so the round is
 # compute-dominated (decode+schedule), which is what the throughput and
 # scaling-efficiency metrics are about; parity fixtures keep k=2
-BENCH = CrawlConf(per_host_k=20, round_budget=200_000)
+BENCH = CrawlConf(per_host_k=20, round_budget=200_000, salt_fanout=32)

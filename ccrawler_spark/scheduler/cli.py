@@ -36,16 +36,32 @@ def build_session(cores: int, shuffle_partitions: int | None = None):
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    # shuffle spill on tmpfs: local[N] shares ONE disk across all task
+    # slots, so shuffle IO is parallelism-independent there — a local-mode
+    # artifact (real clusters add local disks with every executor). RAM
+    # (125 GB) comfortably holds the ≤5 GB round shuffles.
+    shm = pathlib.Path("/dev/shm/ccrawler-spark-local")
+    shm.mkdir(exist_ok=True)
+
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("ccrawler-spark")
+        .config("spark.local.dir", str(shm))
         .config("spark.ui.enabled", "false")
         # fixed partition count across parallelism levels: the scaling
-        # comparison (local[8] vs local[32]) must run the same plan
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 64))
+        # comparison (local[8] vs local[32]) must run the same plan;
+        # 256 initial partitions balance skewed windows, AQE coalesces
+        # the small ones back
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 256))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # finer task granularity: coarse scans/shuffle partitions leave
+        # a 32-core box idle behind stragglers (one 400 MB scan task
+        # holds a whole stage); 64 MB splits / 16 MB shuffle targets
+        # expose enough tasks for the largest local[N] we bench
+        .config("spark.sql.files.maxPartitionBytes", "67108864")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .getOrCreate()

@@ -71,7 +71,12 @@ class CrawlEngine:
     def bootstrap(self, seeds: DataFrame) -> RoundStats:
         """Seeds → snapshot 0 (SEMANTICS.md §6 bootstrap)."""
         conf = self.conf
-        seeds = stages.normalize_urls(seeds.select("url"))
+        # seed sources are often single-file/single-partition; spread
+        # them before the (CPU-bound) normalization UDF
+        seeds = seeds.select("url").repartition(
+            self.spark.sparkContext.defaultParallelism * 4
+        )
+        seeds = stages.normalize_urls(seeds)
         # canonical duplicates collapse to identical frontier rows
         # (priority 0, discover_ts t0, depth 0) — keep-rule irrelevant
         seeds = seeds.dropDuplicates(["url"])
@@ -134,14 +139,15 @@ class CrawlEngine:
         denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS)
         allowed = gated.filter(F.col("allowed"))
 
-        # 2-4. dequeue: per-host top-k → budget K → politeness slots
-        scheduled = stages.dequeue(allowed, conf)
+        # 2-4. dequeue: per-host top-k → budget K → politeness slots;
+        # cached BEFORE the seq step (its offsets collect is an action)
+        sched0 = stages.dequeue(allowed, conf).cache()
         # 5. fetch sequence (cumulative seq across rounds)
         seq_offset = prev["counters"]["fetched_total"]
-        scheduled = stages.with_fetch_sequence(scheduled, r, seq_offset).cache()
+        scheduled = stages.with_fetch_sequence(sched0, r, seq_offset).cache()
 
-        # materialize the dequeue once; everything downstream (fetch,
-        # discovery, removes) reuses the cache
+        # materialize; everything downstream (fetch, discovery, removes)
+        # reuses the cache
         scheduled.count()
 
         # 6. fetch join + decode invariants (Arrow crossing) — launched
@@ -209,11 +215,14 @@ class CrawlEngine:
                     store.write_parquet, fresh, "frontier", f"adds-r{r}",
                     partition_by=["host_bucket"],
                 )
+                # repartition by the write-partition key: otherwise each
+                # of the 64 host_bucket tasks writes a file into every
+                # seen_part dir (64×64 small files per round)
                 seen_delta = fresh.select(
                     "url_hash", "url",
                     umod_long(F.col("url_hash"), conf.seen_partitions)
                     .cast("int").alias("seen_part"),
-                )
+                ).repartition("seen_part")
                 jobs["seen"] = ex.submit(
                     store.write_parquet, seen_delta, "seen", f"delta-r{r}",
                     partition_by=["seen_part"],
@@ -276,6 +285,7 @@ class CrawlEngine:
         })
         queued_after = sum(v["frontier_offset"] for v in lineage.values())
         scheduled.unpersist()
+        sched0.unpersist()
         gated.unpersist()
         fresh.unpersist()
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)

@@ -50,62 +50,61 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     from ccrawler_spark.fixtures import corpus as ref
 
     for batch in batches:
-        urls = batch.column("url").to_pylist()
-        payloads = batch.column("bytes").to_pylist()
+        url_arr = batch.column("url")
+        bytes_arr = batch.column("bytes")
         fmts = batch.column("fmt").to_pylist()
         caps = batch.column("caption").to_pylist()
-        phashes = batch.column("phash").to_pylist()
-        n = len(urls)
-        out = {
-            "url": urls,
-            "fetch_ok": [False] * n,
-            "pixels_ok": [False] * n,
-            "caption_ok": [False] * n,
-            "phash_ok": [False] * n,
-            "psnr_db": [0.0] * n,
-            "dec_w": [0] * n,
-            "dec_h": [0] * n,
-        }
+        phashes = batch.column("phash").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        fetch_ok = np.zeros(n, dtype=bool)
+        pixels_ok = np.zeros(n, dtype=bool)
+        caption_ok = np.zeros(n, dtype=bool)
+        phash_ok = np.zeros(n, dtype=bool)
+        psnr_db = np.zeros(n, dtype=np.float64)
+        dec_w = np.zeros(n, dtype=np.int32)
+        dec_h = np.zeros(n, dtype=np.int32)
+        valid = bytes_arr.is_valid().to_numpy(zero_copy_only=False)
         for i in range(n):
-            if payloads[i] is None:
+            if not valid[i]:
                 continue  # corpus miss → fetch_ok stays False
+            # zero-copy view of the payload (no python bytes object)
+            payload = memoryview(bytes_arr[i].as_buffer())
+            url = url_arr[i].as_py()
             try:
-                dec = codecs.decode(payloads[i], fmts[i])
+                dec = codecs.decode(payload, fmts[i])
             except Exception:
                 continue
-            out["fetch_ok"][i] = True
-            out["dec_h"][i], out["dec_w"][i] = int(dec.shape[0]), int(dec.shape[1])
-            expected = ref.pixels_of(urls[i])
+            fetch_ok[i] = True
+            dec_h[i], dec_w[i] = dec.shape[0], dec.shape[1]
+            expected = ref.pixels_of(url)
             if expected.shape != dec.shape:
                 continue
             if fmts[i] == "dct8":
                 p = codecs.psnr(expected, dec)
-                out["psnr_db"][i] = p if p != float("inf") else 999.0
-                out["pixels_ok"][i] = bool(p >= 40.0)
+                psnr_db[i] = p if p != float("inf") else 999.0
+                pixels_ok[i] = p >= 40.0
                 dist = bin(
-                    (ref.phash_of(dec) ^ phashes[i]) & ((1 << 64) - 1)
+                    (ref.phash_of(dec) ^ int(phashes[i])) & ((1 << 64) - 1)
                 ).count("1")
-                out["phash_ok"][i] = dist <= 2
+                phash_ok[i] = dist <= 2
             else:
                 eq = bool(np.array_equal(expected, dec))
-                out["pixels_ok"][i] = eq
+                pixels_ok[i] = eq
                 # lossless + equal ⇒ PSNR is +inf by definition; only
                 # compute it for a failing row (diagnostic)
-                out["psnr_db"][i] = (
-                    999.0 if eq else codecs.psnr(expected, dec)
-                )
-                out["phash_ok"][i] = ref.phash_of(dec) == phashes[i]
-            out["caption_ok"][i] = ref.caption_of(urls[i]) == caps[i]
+                psnr_db[i] = 999.0 if eq else codecs.psnr(expected, dec)
+                phash_ok[i] = ref.phash_of(dec) == int(phashes[i])
+            caption_ok[i] = ref.caption_of(url) == caps[i]
         yield pa.RecordBatch.from_pydict(
             {
-                "url": pa.array(out["url"], pa.string()),
-                "fetch_ok": pa.array(out["fetch_ok"], pa.bool_()),
-                "pixels_ok": pa.array(out["pixels_ok"], pa.bool_()),
-                "caption_ok": pa.array(out["caption_ok"], pa.bool_()),
-                "phash_ok": pa.array(out["phash_ok"], pa.bool_()),
-                "psnr_db": pa.array(out["psnr_db"], pa.float64()),
-                "dec_w": pa.array(out["dec_w"], pa.int32()),
-                "dec_h": pa.array(out["dec_h"], pa.int32()),
+                "url": url_arr,
+                "fetch_ok": pa.array(fetch_ok),
+                "pixels_ok": pa.array(pixels_ok),
+                "caption_ok": pa.array(caption_ok),
+                "phash_ok": pa.array(phash_ok),
+                "psnr_db": pa.array(psnr_db),
+                "dec_w": pa.array(dec_w),
+                "dec_h": pa.array(dec_h),
             }
         )
 
@@ -134,7 +133,9 @@ def fetch_and_decode(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
         .repartition(n_slots)
         .mapInArrow(_decode_batches, StructType(DECODE_CHECK_FIELDS))
     )
-    out = scheduled.join(checks.hint("broadcast"), on="url", how="left")
+    # join-back via shuffle-hash: both sides are ≤K rows, and a second
+    # driver-built broadcast would serialize on the driver thread
+    out = scheduled.join(checks.hint("shuffle_hash"), on="url", how="left")
     return (
         out.withColumn("fetch_ok", F.coalesce("fetch_ok", F.lit(False)))
         .withColumn("pixels_ok", F.coalesce("pixels_ok", F.lit(False)))

@@ -134,15 +134,50 @@ def dequeue(allowed: DataFrame, conf: CrawlConf) -> DataFrame:
     )
 
 
-def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int) -> DataFrame:
+SEQ_KEY = ["slot_ms", "host_bucket", "host", "url_hash", "url"]
+
+
+def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int,
+                        n_parts: int = 64) -> DataFrame:
     """O29: total fetch order (slot_ms, host_bucket, host, url_hash, url).
 
-    The global row_number is a single-partition window — acceptable
-    because its input is already capped at K rows by the budget (the
-    full frontier never flows through it)."""
-    w = Window.orderBy("slot_ms", "host_bucket", "host", "url_hash", "url")
+    Distributed global ranking: range-partition on the total key, rank
+    within each partition, then add cumulative partition offsets (one
+    64-row collect). Rank values are a pure function of the total
+    order, so they are independent of where the sampled range
+    boundaries fall — partition-count/parallelism changes cannot
+    perturb seq (T4 guards this). A single-partition window here would
+    serialize K rows through one task every round.
+
+    ``scheduled`` should be cached by the caller: the offsets collect
+    and the output both consume it.
+    """
+    ranged = (
+        scheduled.repartitionByRange(n_parts, *[F.col(c) for c in SEQ_KEY])
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        int(r["_pid"]): int(r["count"])
+        for r in ranged.groupBy("_pid").count().collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if offsets:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        off = F.coalesce(mapping[F.col("_pid")], F.lit(0))
+    else:
+        off = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*SEQ_KEY)
     return (
-        scheduled.withColumn("seq", F.row_number().over(w) + F.lit(seq_offset - 1))
+        ranged.withColumn(
+            "seq",
+            (F.row_number().over(w) - 1 + off + F.lit(seq_offset)).cast("int"),
+        )
+        .drop("_pid")
         .withColumn("round", F.lit(round_no))
     )
 
