@@ -48,7 +48,8 @@ class CrawlConf:
 
 TINY = CrawlConf(round_budget=50)
 SMALL = CrawlConf(round_budget=2_000)
-# bench trades politeness strictness for per-round work so the round is
-# compute-dominated (decode+schedule), which is what the throughput and
-# scaling-efficiency metrics are about; parity fixtures keep k=2
-BENCH = CrawlConf(per_host_k=20, round_budget=200_000, salt_fanout=32)
+# bench fetches ~20% of the corpus per round (parity fixtures keep k=2):
+# politeness scatters point lookups uniformly, so the payload-column scan
+# is per-round O(corpus) regardless of K — a larger K amortizes it and
+# makes rounds decode-dominated (the honestly-parallel part)
+BENCH = CrawlConf(per_host_k=200, round_budget=2_000_000, salt_fanout=32)

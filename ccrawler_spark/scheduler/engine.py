@@ -88,7 +88,8 @@ class CrawlEngine:
             .withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
-            .repartition("host_bucket")
+            .repartition(256, F.col("host_bucket"),
+                         umod_long(F.col("url_hash"), 8))
             .cache()
         )
         base = self.store.write_parquet(
@@ -179,7 +180,8 @@ class CrawlEngine:
             fresh.withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
-            .repartition("host_bucket")
+            .repartition(64, F.col("host_bucket"),
+                         umod_long(F.col("url_hash"), 8))
             .cache()
         )
 
