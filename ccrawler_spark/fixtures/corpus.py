@@ -7,6 +7,7 @@ values the Spark engine computes JVM-side with ``F.xxhash64``.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -35,17 +36,27 @@ def fmt_of(canonical_url: str) -> str:
     return FMTS[to_unsigned64(xxhash64_str(canonical_url)) % 3]
 
 
+@functools.lru_cache(maxsize=4096)
+def _pixels_pattern(km: int, w: int, h: int) -> np.ndarray:
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    px = ((km + 31 * y + 17 * x + 97 * c) % 256).astype(np.uint8)
+    px.setflags(write=False)  # cached: callers must not mutate
+    return px
+
+
 def pixels_of(canonical_url: str) -> np.ndarray:
     """uint8[h, w, 3]: pixels[y,x,c] = (k_u + 31y + 17x + 97c) % 256.
 
     k_u is reduced mod 256 before the numpy broadcast — mathematically
     identical, and avoids numpy's silent int→float64 promotion for
-    k_u ≥ 2^63 which would destroy the low bits.
+    k_u ≥ 2^63 which would destroy the low bits. Only (km, w, h)
+    determine the image, so there are ≤ 256·4·4 distinct patterns —
+    LRU-cached (read-only) because the decode invariant regenerates
+    the expected image for every fetched row (O41 hot path).
     """
     w, h = dims(canonical_url)
     km = int(to_unsigned64(xxhash64_str(canonical_url)) % 256)
-    y, x, c = np.ogrid[0:h, 0:w, 0:3]
-    return ((km + 31 * y + 17 * x + 97 * c) % 256).astype(np.uint8)
+    return _pixels_pattern(km, w, h)
 
 
 def caption_of(canonical_url: str) -> str:

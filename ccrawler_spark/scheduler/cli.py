@@ -60,7 +60,7 @@ def build_session(cores: int, shuffle_partitions: int | None = None):
         # a 32-core box idle behind stragglers (one 400 MB scan task
         # holds a whole stage); 64 MB splits / 16 MB shuffle targets
         # expose enough tasks for the largest local[N] we bench
-        .config("spark.sql.files.maxPartitionBytes", "67108864")
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

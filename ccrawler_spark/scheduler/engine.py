@@ -316,17 +316,29 @@ class CrawlEngine:
         return out
 
     def _write_metrics(self, lineage: dict, r: int) -> str:
-        rows = [
-            (r, int(b), v["frontier_offset"], v["bloom_version"],
-             v["fetched"], v["denied"], v["enqueued"])
-            for b, v in lineage.items()
-        ]
-        df = self.spark.createDataFrame(
-            rows,
-            "round int, host_bucket int, frontier_offset long, "
-            "bloom_version long, fetched long, denied long, enqueued long",
-        )
-        return self.store.write_parquet(df.coalesce(1), "metrics", f"r{r}")
+        """B rows of lineage — written driver-side with pyarrow (a Spark
+        job for 64 rows costs seconds of plan/dispatch per round)."""
+        import pathlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        items = sorted(lineage.items(), key=lambda kv: int(kv[0]))
+        table = pa.table({
+            "round": pa.array([r] * len(items), pa.int32()),
+            "host_bucket": pa.array([int(b) for b, _ in items], pa.int32()),
+            "frontier_offset": pa.array(
+                [v["frontier_offset"] for _, v in items], pa.int64()),
+            "bloom_version": pa.array(
+                [v["bloom_version"] for _, v in items], pa.int64()),
+            "fetched": pa.array([v["fetched"] for _, v in items], pa.int64()),
+            "denied": pa.array([v["denied"] for _, v in items], pa.int64()),
+            "enqueued": pa.array([v["enqueued"] for _, v in items], pa.int64()),
+        })
+        out = pathlib.Path(self.store.data_path("metrics", f"r{r}"))
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, out / "part-0.parquet")
+        return str(pathlib.Path("metrics") / f"r{r}")
 
     def _load_bloom(self, n: int) -> dict[int, np.ndarray]:
         """Latest segment per bucket, collected to the driver (≤ B ×

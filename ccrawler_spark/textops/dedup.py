@@ -173,6 +173,40 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fp.alias("simhash"))
 
 
+def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
+                     phash_col: str = "phash", max_hamming: int = 6) -> DataFrame:
+    """O18 (SURVEY.md §2): perceptual-hash Hamming clustering over the
+    corpus — banded LSH on the 64-bit phash (4 bands × 16 bits) so the
+    self-join never goes O(n²); exact distance check afterwards with
+    ``bit_count(a ^ b)``. By pigeonhole, any pair within Hamming ≤ 3 is
+    guaranteed to share a band; larger distances are found with high
+    probability."""
+    bands = [
+        F.shiftrightunsigned(F.col(phash_col), 16 * b)
+        .bitwiseAND(F.lit((1 << 16) - 1))
+        .alias(f"b{b}")
+        for b in range(4)
+    ]
+    banded = df.select(
+        F.col(id_col), F.col(phash_col),
+        F.posexplode(F.array(*bands)).alias("band", "key"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col(phash_col).alias("h_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col(phash_col).alias("h_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded to avoid the
     O(n²) self-join: 4 bands of 15 bits each — any pair within Hamming

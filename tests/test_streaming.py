@@ -1,0 +1,81 @@
+"""O42-O45 streaming surface (SURVEY.md §2.I): micro-batch frontier
+feed, streaming dedup, watermarked rates, stateful politeness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccrawler_spark import testing as tt
+from ccrawler_spark.conf import TINY
+from ccrawler_spark.streaming import frontier_stream as fs
+
+
+@pytest.fixture(scope="module")
+def tiny_store(spark, tiny_fixtures, tmp_path_factory):
+    out = tmp_path_factory.mktemp("stream_store")
+    _, store, _ = tt.engine_run(spark, "tiny", str(out), rounds=3)
+    return store
+
+
+def test_frontier_stream_drains_store(spark, tiny_store, tmp_path):
+    """O42: AvailableNow drains every frontier add-delta exactly once."""
+    stream = fs.frontier_delta_stream(spark, str(tiny_store.root))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("frontier_feed")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM frontier_feed").first()["n"]
+    assert got > 0
+    # base-r0 ∪ adds = every enqueued-ever url, each exactly once
+    urls = spark.sql("SELECT url FROM frontier_feed").collect()
+    assert len({r["url"] for r in urls}) == len(urls)
+    from ccrawler_spark import testing as tt
+
+    assert {r["url"] for r in urls} == tt.oracle_run("tiny", rounds=3).seen
+
+
+def test_streaming_dedup_and_rates(spark, tiny_store, tmp_path):
+    """O44/O45 compile into a streaming plan and produce rows."""
+    stream = fs.frontier_delta_stream(spark, str(tiny_store.root))
+    dedup = fs.streaming_dedup(stream)
+    q = (
+        fs.discovery_rate(dedup, set_watermark=False)
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert sum(r["enqueued"] for r in rows) > 0
+
+
+def test_stateful_politeness_slots(spark, tiny_store, tmp_path):
+    """O43: slots are spaced crawl_delay apart per host and persist
+    across micro-batches (last_slot continues)."""
+    stream = fs.frontier_delta_stream(spark, str(tiny_store.root))
+    out = fs.stateful_politeness(stream, TINY)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("polite")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM polite ORDER BY host, seq_in_host").collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, hr in by_host.items():
+        slots = [r["slot_ms"] for r in hr]
+        assert slots == sorted(slots)
+        diffs = {b - a for a, b in zip(slots, slots[1:])}
+        assert diffs <= {TINY.default_crawl_delay_ms}, (host, diffs)
