@@ -43,16 +43,22 @@ FRONTIER_STREAM_SCHEMA = StructType([
 ])
 
 
-def frontier_delta_stream(spark: SparkSession, store_root: str) -> DataFrame:
+def frontier_delta_stream(spark: SparkSession, store_root: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
     """O42: each committed round's adds-delta becomes a micro-batch.
     Only base/adds dirs are enqueue events — removes-* are equality
-    deletes with a different schema and stay out of the stream."""
-    return (
+    deletes with a different schema and stay out of the stream.
+    ``max_files_per_trigger`` splits a drain into several micro-batches
+    (append-mode windows flush only when a later batch advances the
+    watermark)."""
+    reader = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
-        .parquet(f"{store_root}/data/frontier/{{base,adds}}-*")
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(f"{store_root}/data/frontier/{{base,adds}}-*")
 
 
 def streaming_dedup(frontier: DataFrame, delay: str = "10 minutes") -> DataFrame:

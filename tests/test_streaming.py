@@ -39,8 +39,12 @@ def test_frontier_stream_drains_store(spark, tiny_store, tmp_path):
 
 def test_streaming_dedup_and_rates(spark, tiny_store, tmp_path):
     """O44/O45 compile into a streaming plan and produce rows."""
-    stream = fs.frontier_delta_stream(spark, str(tiny_store.root))
-    dedup = fs.streaming_dedup(stream)
+    stream = fs.frontier_delta_stream(
+        spark, str(tiny_store.root), max_files_per_trigger=1
+    )
+    # short delay: each round's discover_ts advances 60 virtual seconds,
+    # so every new micro-batch flushes the previous rounds' windows
+    dedup = fs.streaming_dedup(stream, delay="30 seconds")
     q = (
         fs.discovery_rate(dedup, set_watermark=False)
         .writeStream.format("memory")
