@@ -265,6 +265,11 @@ class CrawlEngine:
         base = fr_prev["base"]
         if len(adds) >= self.store.compact_threshold:
             composed = store.read_frontier_from(base, adds, removes_list)
+            # same multi-file-per-bucket layout as bootstrap: a compacted
+            # hot bucket must not become a single-file scan straggler
+            composed = composed.repartition(
+                256, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
+            )
             base = store.write_parquet(
                 composed, "frontier", f"base-r{r}", partition_by=["host_bucket"]
             )

@@ -92,7 +92,7 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         "doc_id", "sig",
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
-    )
+    ).persist()  # both sides of the self-join reuse the signatures
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
         "band", "bucket",
