@@ -297,9 +297,13 @@ def _shingles(k: int = 3) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ccrawler_spark.textops.dedup import MINHASH_M, minhash_mix_params
+
+    h0 = f"({_h('s')} % {MINHASH_M})"
     minhash_cols = ", ".join(
-        "list_min(list_transform(sh, s -> {h})) AS sig_{i}".format(
-            h=_h("s || '|%d'" % i), i=i
+        "list_min(list_transform(sh, s -> ({a} * {h0} + {b}) % {m})) AS sig_{i}".format(
+            a=minhash_mix_params(i)[0], b=minhash_mix_params(i)[1],
+            h0=h0, m=MINHASH_M, i=i,
         )
         for i in range(16)
     )

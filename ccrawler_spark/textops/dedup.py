@@ -52,19 +52,36 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """(doc_id, sig: array<long>) — sig[i] = min over shingles of
-    phash60(shingle || '|' || i). Scalar per row: zero shuffles."""
-    sh = word_shingles(F.col("text"))
+MINHASH_M = (1 << 31) - 1  # Mersenne prime 2^31-1: products stay < 2^62,
+# safe under both Spark's wrapping and DuckDB's checked BIGINT arithmetic
 
-    def seed_hash(i: int):
-        # N.B. a `lambda s, i=i:` two-param form would be treated by
-        # pyspark as the (element, index) lambda — bind via closure
-        salt = f"|{i}"
-        return lambda s: phash60(F.concat(s, F.lit(salt)))
+
+def minhash_mix_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for the i-th universal-hash mix, derived
+    from the portable hash so Spark/DuckDB/Python agree."""
+    from .hashing import phash60_py
+
+    return (phash60_py(f"mh_a|{i}") % (MINHASH_M - 1) + 1,
+            phash60_py(f"mh_b|{i}") % MINHASH_M)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig: array<long>) — one portable md5 per *shingle*
+    (h0 = phash60(shingle) mod M), then 16 universal-hash mixes
+    sig_i = min over shingles of (a_i·h0 + b_i) mod M. Scalar per row,
+    zero shuffles, and 16× fewer md5 evaluations than hashing each
+    (shingle, seed) pair."""
+    h0s = F.transform(
+        word_shingles(F.col("text")),
+        lambda s: F.pmod(phash60(s), F.lit(MINHASH_M)),
+    )
+
+    def mix(i: int):
+        a, b = minhash_mix_params(i)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_M))
 
     sig = F.array(
-        *[F.array_min(F.transform(sh, seed_hash(i))) for i in range(n_hashes)]
+        *[F.array_min(F.transform(h0s, mix(i))) for i in range(n_hashes)]
     )
     return docs.select("doc_id", sig.alias("sig"))
 
