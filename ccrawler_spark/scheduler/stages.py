@@ -137,47 +137,44 @@ def dequeue(allowed: DataFrame, conf: CrawlConf) -> DataFrame:
 SEQ_KEY = ["slot_ms", "host_bucket", "host", "url_hash", "url"]
 
 
-def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int,
-                        n_parts: int = 64) -> DataFrame:
+SEQ_GROUP = ["slot_ms", "host_bucket"]  # prefix of SEQ_KEY ⇒ order-compatible
+
+
+def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int) -> DataFrame:
     """O29: total fetch order (slot_ms, host_bucket, host, url_hash, url).
 
-    Distributed global ranking: range-partition on the total key, rank
-    within each partition, then add cumulative partition offsets (one
-    64-row collect). Rank values are a pure function of the total
-    order, so they are independent of where the sampled range
-    boundaries fall — partition-count/parallelism changes cannot
-    perturb seq (T4 guards this). A single-partition window here would
-    serialize K rows through one task every round.
+    Distributed global ranking as a deterministic group prefix-sum:
+    rows are grouped on (slot_ms, host_bucket) — a *prefix* of the
+    total key, so every row of an earlier group precedes every row of
+    a later group — ranked within the group by the key's remainder,
+    and shifted by the cumulative count of earlier groups. Every
+    boundary is a pure function of data values: unlike
+    ``repartitionByRange`` (whose sampled boundaries vary per job, so
+    reading the partitioning twice can mis-align offsets and ranks),
+    this cannot produce duplicate or gapped seq at any scale or
+    parallelism (T4 guards this).
 
-    ``scheduled`` should be cached by the caller: the offsets collect
-    and the output both consume it.
+    Cost: one hash shuffle of ``scheduled`` on the group key; the
+    offsets side is |distinct (slot_ms, host_bucket)| rows — in a
+    politeness-sloted schedule that is O(per_host_k × #crawl_delays ×
+    B) ≪ K, so it broadcasts. Group sizes are ~|hosts scheduled at
+    that slot| / B — naturally balanced, no hot key.
     """
-    ranged = (
-        scheduled.repartitionByRange(n_parts, *[F.col(c) for c in SEQ_KEY])
-        .withColumn("_pid", F.spark_partition_id())
+    counts = scheduled.groupBy(*SEQ_GROUP).count()
+    w_off = Window.orderBy(*SEQ_GROUP).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        *SEQ_GROUP,
+        F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_goff"),
     )
-    counts = {
-        int(r["_pid"]): int(r["count"])
-        for r in ranged.groupBy("_pid").count().collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    if offsets:
-        mapping = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        )
-        off = F.coalesce(mapping[F.col("_pid")], F.lit(0))
-    else:
-        off = F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(*SEQ_KEY)
+    w = Window.partitionBy(*SEQ_GROUP).orderBy("host", "url_hash", "url")
     return (
-        ranged.withColumn(
+        scheduled.join(F.broadcast(offsets), on=SEQ_GROUP, how="inner")
+        .withColumn(
             "seq",
-            (F.row_number().over(w) - 1 + off + F.lit(seq_offset)).cast("int"),
+            (F.row_number().over(w) - 1 + F.col("_goff") + F.lit(seq_offset))
+            .cast("long"),
         )
-        .drop("_pid")
+        .drop("_goff")
         .withColumn("round", F.lit(round_no))
     )
 

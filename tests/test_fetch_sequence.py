@@ -1,0 +1,72 @@
+"""O29 fetch-sequence determinism at a scale where range-sampling bugs
+fire (ADVICE r1-high): 200k rows must get a dense, duplicate-free,
+order-respecting seq regardless of input partitioning — and the same
+seq when computed twice (the old repartitionByRange implementation
+re-sampled boundaries per job and produced ~5k duplicates here)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccrawler_spark.scheduler import stages
+
+
+@pytest.fixture(scope="module")
+def sched_df(spark):
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn("url_hash", F.xxhash64(F.col("id").cast("string")))
+        .withColumn("host", F.concat(F.lit("h"), F.pmod("url_hash", F.lit(997)).cast("string")))
+        .withColumn("host_bucket", F.pmod("url_hash", F.lit(64)).cast("int"))
+        # ~25 distinct slots, heavy ties — the window-group regime
+        .withColumn("slot_ms", (F.pmod("url_hash", F.lit(25)) * 1000).cast("long"))
+        .withColumn("url", F.concat(F.lit("http://x/"), F.col("id").cast("string")))
+        .drop("id")
+        .repartition(37)  # deliberately unrelated partitioning
+    )
+    return df.cache()
+
+
+def test_seq_dense_and_duplicate_free(sched_df):
+    n = sched_df.count()
+    out = stages.with_fetch_sequence(sched_df, round_no=1, seq_offset=100).cache()
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("seq").alias("d"),
+        F.min("seq").alias("lo"),
+        F.max("seq").alias("hi"),
+    ).first()
+    assert agg["n"] == n
+    assert agg["d"] == n, f"{n - agg['d']} duplicate seq values"
+    assert agg["lo"] == 100 and agg["hi"] == 100 + n - 1
+    out.unpersist()
+
+
+def test_seq_respects_total_order(sched_df):
+    out = stages.with_fetch_sequence(sched_df, round_no=1, seq_offset=0)
+    # seq ascending must equal the SEQ_KEY lexicographic order: compare
+    # the rank of each row under both orderings on a deterministic sample
+    sample = (
+        out.filter(F.pmod("url_hash", F.lit(211)) == 0)
+        .select("seq", *stages.SEQ_KEY)
+        .collect()
+    )
+    by_seq = sorted(sample, key=lambda r: r["seq"])
+    by_key = sorted(sample, key=lambda r: tuple(r[c] for c in stages.SEQ_KEY))
+    assert [r["seq"] for r in by_seq] == [r["seq"] for r in by_key]
+
+
+def test_seq_stable_across_recomputation(sched_df):
+    """Two independent evaluations of the same plan assign identical
+    seq to every row (no per-job sampling anywhere)."""
+    a = stages.with_fetch_sequence(sched_df, 1, 0).select("url", "seq")
+    b = stages.with_fetch_sequence(sched_df, 1, 0).select(
+        "url", F.col("seq").alias("seq_b")
+    )
+    diff = a.join(b, on="url").filter(F.col("seq") != F.col("seq_b")).count()
+    assert diff == 0
+
+
+def test_seq_is_long(sched_df):
+    out = stages.with_fetch_sequence(sched_df, 1, 0)
+    assert dict(out.dtypes)["seq"] == "bigint"
