@@ -32,6 +32,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores: the testdata corpus is one
+    parquet file (one input split), which would serialize the
+    md5-per-shingle map stage of the hashing operators onto a single
+    task. Real corpora arrive in thousands of splits — the round-robin
+    repartition stands in for that and is not part of the operators
+    themselves."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # --------------------------------------------------------------- queries
 def q_topk_per_group(spark, sf_dir):
     """O26 surrogate: top-2 orders per customer (window top-k)."""
@@ -164,7 +176,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     from ccrawler_spark.textops.dedup import minhash_signatures
 
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(_docs(spark, sf_dir))
     return sigs.select(
         "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(16)]
     )
@@ -173,19 +185,19 @@ def q_minhash_signatures(spark, sf_dir):
 def q_lsh_candidate_pairs(spark, sf_dir):
     from ccrawler_spark.textops.dedup import lsh_candidate_pairs
 
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from ccrawler_spark.textops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.1)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
 def q_simhash(spark, sf_dir):
     from ccrawler_spark.textops.dedup import simhash64
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash64(_docs(spark, sf_dir))
 
 
 def q_token_stats(spark, sf_dir):
@@ -209,7 +221,7 @@ def q_lang_id(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     from ccrawler_spark.textops.textstats import fingerprint
 
-    return fingerprint(_t(spark, sf_dir, "documents"))
+    return fingerprint(_docs(spark, sf_dir))
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -241,7 +253,7 @@ def q_simhash_near_pairs(spark, sf_dir):
     """Banded simhash near-dups — rows-only check."""
     from ccrawler_spark.textops.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -333,23 +345,35 @@ def oracle_sql() -> dict[str, str]:
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(60)
     )
-    # LSH bands: bucket_b = phash60(sig[2b] || ',' || sig[2b+1])
-    band_values = ", ".join(f"({b})" for b in range(8))
+    # LSH bands (in lockstep with textops.dedup constants):
+    # bucket_b = phash60(sig[b*r] || ',' || ... || sig[b*r + r-1])
+    from ccrawler_spark.textops.dedup import LSH_BUCKET_CAP, N_BANDS, N_MINHASH
+
+    lsh_r = N_MINHASH // N_BANDS
+    band_values = ", ".join(f"({b})" for b in range(N_BANDS))
     band_bucket = (
         "CASE band "
         + " ".join(
             "WHEN {b} THEN {h}".format(
                 b=b,
                 h=_h(
-                    f"CAST(sig_{2*b} AS VARCHAR) || ',' || "
-                    f"CAST(sig_{2*b+1} AS VARCHAR)"
+                    " || ',' || ".join(
+                        f"CAST(sig_{b * lsh_r + j} AS VARCHAR)"
+                        for j in range(lsh_r)
+                    )
                 ),
             )
-            for b in range(8)
+            for b in range(N_BANDS)
         )
         + " END"
     )
-    sig_list = "[" + ", ".join(f"sig_{i}" for i in range(16)) + "]"
+    sig_list = "[" + ", ".join(f"sig_{i}" for i in range(N_MINHASH)) + "]"
+    lsh_banded_cte = f"""
+              SELECT doc_id, band, bucket
+              FROM sigs, (VALUES {band_values}) AS bb(band),
+              LATERAL (SELECT {band_bucket} AS bucket)
+              QUALIFY count(*) OVER (PARTITION BY band, bucket)
+                      <= {LSH_BUCKET_CAP}"""
 
     return {
         "topk_per_group": """
@@ -468,41 +492,44 @@ def oracle_sql() -> dict[str, str]:
             WITH sigs AS (
               SELECT doc_id, {minhash_cols}
               FROM (SELECT doc_id, {_shingles(3)} AS sh FROM documents)
-            ), banded AS (
-              SELECT doc_id, {sig_list} AS sig, band, bucket
-              FROM sigs, (VALUES {band_values}) AS b(band),
-              LATERAL (SELECT {band_bucket} AS bucket)
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_filter(range(1, 17),
-                     i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 16.0
-                     AS est_jaccard
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bucket = b.bucket
-             AND a.doc_id < b.doc_id
-        """,
-        "ngram_jaccard_pairs": f"""
-            WITH sigs AS (
-              SELECT doc_id, sh, {minhash_cols}
-              FROM (SELECT doc_id, {_shingles(3)} AS sh FROM documents)
-            ), banded AS (
-              SELECT doc_id, sh, band, bucket
-              FROM sigs, (VALUES {band_values}) AS b(band),
-              LATERAL (SELECT {band_bucket} AS bucket)
-            ), cands AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     a.sh AS sh_a, b.sh AS sh_b
+            ), banded AS ({lsh_banded_cte}
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM banded a JOIN banded b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b,
-                   round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                     / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE), 6)
+                   CAST(len(list_filter(range(1, {N_MINHASH + 1}),
+                     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                     / {float(N_MINHASH)} AS est_jaccard
+            FROM pairs
+            JOIN (SELECT doc_id, {sig_list} AS sig FROM sigs) sa
+              ON sa.doc_id = pairs.doc_a
+            JOIN (SELECT doc_id, {sig_list} AS sig FROM sigs) sb
+              ON sb.doc_id = pairs.doc_b
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH shing AS (
+              SELECT doc_id, {_shingles(3)} AS sh FROM documents
+            ), sigs AS (
+              SELECT doc_id, {minhash_cols} FROM shing
+            ), banded AS ({lsh_banded_cte}
+            ), cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE), 6)
                      AS jaccard
             FROM cands
-            WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                / CAST(len(list_distinct(sh_a || sh_b)) AS DOUBLE) >= 0.1
+            JOIN shing sa ON sa.doc_id = cands.doc_a
+            JOIN shing sb ON sb.doc_id = cands.doc_b
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) >= 0.1
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT [{q}] AS qv)

@@ -3,11 +3,15 @@
 Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
 SimHash, and n-gram Jaccard — all over a ``documents``-shaped table
 (doc_id, text, ...). Every operator is pure DataFrame/Catalyst (scalar
-array lambdas — array_min/transform — instead of explode+shuffle where
-possible), so the shuffle count is: exact dedup = 1 (groupBy hash),
-minhash signatures = 0, LSH pair generation = 1 (band-bucket
-self-join). At 100 TB the signature pass streams the corpus once and
-the join only shuffles (band, bucket, doc_id) triples, never text.
+array lambdas — array_min/transform/aggregate — plus deliberate slim
+exchanges that materialize per-doc hash arrays exactly once: Spark
+evaluates higher-order functions interpreted, with no common-
+subexpression elimination, so a hash array referenced N times in one
+projection is recomputed N times unless an exchange pins it — see
+minhash_signatures). No shuffle ever carries document text: the
+heaviest shuffled payload is the 128-byte signature / 8-byte-per-
+shingle hash array, and the LSH self-join moves (band, bucket,
+doc_id) triples only.
 """
 
 from __future__ import annotations
@@ -18,8 +22,17 @@ from pyspark.sql import functions as F
 from .hashing import phash60
 
 N_MINHASH = 16
-N_BANDS = 8  # 2 rows per band
+N_BANDS = 4  # 4 rows per band: per-band collision prob is J^4, so
+# shared-vocab corpora (J ≈ 0.2-0.4 between unrelated docs) stop
+# flooding buckets, while true near-dups (J ≥ 0.8) still collide in
+# ≥1 of 4 bands with P ≈ 0.88-0.999
 SHINGLE_K = 3
+LSH_BUCKET_CAP = 64  # drop (band, bucket) groups larger than this —
+# standard LSH hygiene: a bucket of size m contributes O(m²) candidate
+# pairs, and pathological buckets (boilerplate, empty docs) otherwise
+# go quadratic. A true near-dup pair lost to one over-full band still
+# has the other n_bands-1 chances. The DuckDB oracle twin applies the
+# identical cap (__spark_entry__.oracle_sql), keeping the gate exact.
 
 
 def tokens_col(text_col):
@@ -68,36 +81,53 @@ def minhash_mix_params(i: int) -> tuple[int, int]:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """(doc_id, sig: array<long>) — one portable md5 per *shingle*
     (h0 = phash60(shingle) mod M), then 16 universal-hash mixes
-    sig_i = min over shingles of (a_i·h0 + b_i) mod M. Scalar per row,
-    zero shuffles, and 16× fewer md5 evaluations than hashing each
-    (shingle, seed) pair."""
+    sig_i = min over shingles of (a_i·h0 + b_i) mod M.
+
+    Two projections split by a slim exchange, deliberately: higher-
+    order functions evaluate interpreted (CodegenFallback) and Spark
+    performs no common-subexpression elimination across project items
+    there, so putting h0s and the 16 mixes in ONE projection
+    re-evaluates the shingle→md5 pipeline once per mix — measured 16×
+    the work (108 s vs ~8 s for 5 000 docs single-core). The exchange
+    materializes the shingle-hash array exactly once (~8 B per
+    shingle, far smaller than the text it came from) and spreads
+    single-file corpora across cores; the mixes then iterate the
+    materialized attribute. At warehouse scale this shuffle is the
+    \"signature build\" stage boundary you would have anyway."""
     h0s = F.transform(
         word_shingles(F.col("text")),
         lambda s: F.pmod(phash60(s), F.lit(MINHASH_M)),
     )
+    hashed = docs.select("doc_id", h0s.alias("_h0s")).repartition("doc_id")
 
     def mix(i: int):
         a, b = minhash_mix_params(i)
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_M))
 
     sig = F.array(
-        *[F.array_min(F.transform(h0s, mix(i))) for i in range(n_hashes)]
+        *[F.array_min(F.transform(F.col("_h0s"), mix(i))) for i in range(n_hashes)]
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    docs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+def lsh_band_buckets(
+    sigs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+    """(doc_id, band, bucket): each signature hashed per band of
+    r = n_hashes/n_bands rows. Ids only — no signature arrays ride
+    any downstream shuffle.
 
-    Bands of r = n_hashes/n_bands signature rows are hashed to a bucket;
-    the self-join shuffles only (band, bucket, doc_id). Returns distinct
-    pairs (doc_a < doc_b) with their estimated Jaccard (matching
-    signature fraction).
-    """
+    The repartition below is load-bearing, not a tuning knob: without
+    an exchange, CollapseProject inlines the whole minhash expression
+    tree into every per-element ``sig[i]`` access (generators do no
+    common-subexpression elimination), re-evaluating the
+    shingle→md5→mix pipeline up to n_hashes× per band column —
+    measured 109 s for 5 000 docs vs 1.6 s with the barrier. The
+    exchange materializes each signature exactly once (8 B id + 128 B
+    array per doc) and simultaneously spreads single-file corpora
+    across all cores."""
     r = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n_hashes)
+    sigs = sigs.repartition("doc_id")
     band_cols = [
         phash60(
             F.concat_ws(
@@ -106,21 +136,54 @@ def lsh_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(n_bands)
     ]
-    banded = sigs.select(
-        "doc_id", "sig",
-        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
-    ).persist()  # both sides of the self-join reuse the signatures
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
-        "band", "bucket",
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
-        "band", "bucket",
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: docs sharing any band bucket.
+
+    Scale shape (the part that must survive 100 TB):
+      1. the banded self-join carries (band, bucket, doc_id) triples
+         ONLY — 24 bytes/row, never signatures or text;
+      2. (band, bucket) groups above ``bucket_cap`` are dropped before
+         the join, bounding the worst bucket at O(cap²) pairs;
+      3. signatures are re-attached per *pair side* after the
+         pair-distinct, so the wide arrays touch O(|pairs|) rows.
+    At warehouse scale the signature table would be a persisted
+    intermediate; here the scalar recompute (one corpus scan per
+    attach) is cheaper than caching inside an operator and leaking it.
+
+    Returns distinct pairs (doc_a < doc_b) with their estimated
+    Jaccard (matching signature fraction).
+    """
+    sigs = minhash_signatures(docs, n_hashes)
+    banded = lsh_band_buckets(sigs, n_hashes, n_bands)
+    w = Window.partitionBy("band", "bucket")
+    capped = (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
     )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     pairs = (
         a.join(b, on=["band", "bucket"], how="inner")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sig_a, on="doc_a")
+        .join(sig_b, on="doc_b")
         .select(
             "doc_a", "doc_b",
             (
@@ -130,12 +193,10 @@ def lsh_candidate_pairs(
                         lambda m: m,
                     )
                 )
-                / F.lit(16.0)
+                / F.lit(float(n_hashes))
             ).alias("est_jaccard"),
         )
-        .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
@@ -168,26 +229,40 @@ SIMHASH_BITS = 60  # the portable hash supplies 60 bits
 
 def simhash64(docs: DataFrame) -> DataFrame:
     """SimHash over whitespace tokens: bit b of the fingerprint is the
-    sign of Σ_tokens (±1 by bit b of phash60(token)). Pure scalar array
-    math (transform/aggregate), literal shift amounts — zero shuffles,
-    stays in codegen."""
+    sign of Σ_tokens (±1 by bit b of phash60(token)).
+
+    Single traversal: one aggregate pass accumulates all 60 bit votes
+    at once (zip_with against a literal powers-of-two array; the bit
+    test is ``h & 2^b``, pure int64 — no float division anywhere),
+    then one final pass folds signs into the fingerprint. The token
+    hashes are materialized once behind a slim exchange — the naive
+    60-separate-aggregates form re-evaluates the md5-per-token
+    pipeline per bit (interpreted HOFs get no common-subexpression
+    elimination; same pathology as minhash_signatures, see there)."""
     toks = tokens_col(F.col("text"))
     th = F.transform(toks, lambda t: phash60(t))
+    hashed = docs.select("doc_id", th.alias("_th")).repartition("doc_id")
 
-    def vote(b: int):
-        def f(acc, h):
-            is_one = F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(is_one, 1).otherwise(-1)
-
-        return f
-
-    fp = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        fp = fp + F.when(
-            F.aggregate(th, F.lit(0), vote(b)) > 0,
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    return docs.select("doc_id", fp.alias("simhash"))
+    powers = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)]
+    )
+    votes = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc, powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes, powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
@@ -229,7 +304,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     O(n²) self-join: 4 bands of 15 bits each — any pair within Hamming
     ≤ 8 of a 60-bit fingerprint shares at least one exact band with
     good probability (exact guarantee at ≤ 3 by pigeonhole)."""
-    sh = simhash64(docs)
+    # exchange barrier: 4 band accesses would otherwise each re-inline
+    # the whole simhash vote pipeline (no CSE in interpreted HOFs)
+    sh = simhash64(docs).repartition("doc_id")
     bands = [
         F.shiftrightunsigned(F.col("simhash"), 15 * b)
         .bitwiseAND(F.lit((1 << 15) - 1))

@@ -108,7 +108,17 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: whole-text portable hash + a rolling-window
     fingerprint (min hash over 8-token windows — a winnowing-style
     selector that survives small edits at either end)."""
-    toks = tokens_col(F.col("text"))
+    # content_hash and the token array are computed pre-exchange so (a)
+    # the raw text never rides a shuffle and (b) the window expression's
+    # 8 element_at references hit a materialized attribute instead of
+    # re-inlining the tokenizer per reference (no CSE in interpreted
+    # HOFs — see dedup.minhash_signatures)
+    base = docs.select(
+        "doc_id",
+        phash60(F.col("text")).alias("content_hash"),
+        tokens_col(F.col("text")).alias("_toks"),
+    ).repartition("doc_id")
+    toks = F.col("_toks")
     n = F.size(toks)
     win = 8
     idx = F.sequence(F.lit(0), F.greatest(n - win, F.lit(0)))
@@ -119,8 +129,6 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         ),
     )
     rolling = F.array_min(F.transform(windows, lambda s: phash60(s)))
-    return docs.select(
-        "doc_id",
-        phash60(F.col("text")).alias("content_hash"),
-        rolling.alias("rolling_min_hash"),
+    return base.select(
+        "doc_id", "content_hash", rolling.alias("rolling_min_hash")
     )

@@ -68,21 +68,38 @@ def test_seen_read_partition_pruning(spark, tiny_fixtures, tmp_path):
 
 
 def test_textops_scalar_zero_shuffle(spark):
-    """quality/lang-id/fingerprint/simhash are scan-fused: no Exchange,
-    no Python eval anywhere in the plan."""
-    from ccrawler_spark.textops.dedup import minhash_signatures, simhash64
+    """token/quality/lang-id are scan-fused: no Exchange, no Python
+    eval anywhere in the plan."""
     from ccrawler_spark.textops.textstats import (
-        fingerprint, lang_id, quality_score, token_stats,
+        lang_id, quality_score, token_stats,
     )
 
     docs = spark.createDataFrame(
         [(1, "a b c d e f g h i j", "en", "s", 10)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    for op in (token_stats, quality_score, lang_id, fingerprint,
-               minhash_signatures, simhash64):
+    for op in (token_stats, quality_score, lang_id):
         plan = plan_of(op(docs))
         assert "Exchange" not in plan, op.__name__
+        assert "EvalPython" not in plan, op.__name__
+
+
+def test_textops_hashing_single_slim_exchange(spark):
+    """minhash/simhash/fingerprint carry exactly ONE exchange — the
+    deliberate barrier that materializes the per-doc hash array once
+    (interpreted HOFs get no common-subexpression elimination, so an
+    unfenced plan re-evaluates md5-per-token/shingle up to 16×/60×).
+    Still no Python eval anywhere."""
+    from ccrawler_spark.textops.dedup import minhash_signatures, simhash64
+    from ccrawler_spark.textops.textstats import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for op in (minhash_signatures, simhash64, fingerprint):
+        plan = plan_of(op(docs), mode="simple")
+        assert plan.count("Exchange") == 1, f"{op.__name__}:\n{plan[:800]}"
         assert "EvalPython" not in plan, op.__name__
 
 
