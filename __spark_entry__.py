@@ -5,9 +5,12 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. Non-SQL-expressible ops (LSH ANN, SRP near-dup, simhash
-banding) omit the oracle → rows-only check, and their exactness is
-covered by pytest instead (tests/test_textops.py).
+cleanly. Every query has a DuckDB oracle (23/23 value-checked): the
+approximate operators (SRP-LSH ANN, embedding near-dup, simhash
+banding) are deterministic — their hyperplanes, rings and bands are
+literal-expressible — so the twin reproduces them exactly; semantic
+quality (recall vs brute force) is additionally covered by pytest
+(tests/test_textops.py).
 """
 
 from __future__ import annotations
@@ -40,6 +43,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition stands in for that and is not part of the operators
     themselves."""
     return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across cores — same single-file rationale as
+    ``_docs`` (the SRP bucket stage is 32 dot products per vector)."""
+    return _t(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
 
@@ -244,8 +255,10 @@ def q_embedding_near_dup(spark, sf_dir):
     """SRP-bucketed cosine near-dup pairs — rows-only check."""
     from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
 
+    # n_planes=10: 1024 buckets/table suits the ~10^3-10^4-vector
+    # testdata scale (see operator docstring for the sizing rule)
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _embs(spark, sf_dir), dim=EMB_DIM, threshold=0.4, n_planes=10
     )
 
 
@@ -308,6 +321,25 @@ def _shingles(k: int = 3) -> str:
     )
 
 
+def _plane_sql(plane: list[float]) -> str:
+    """DuckDB literal for one SRP hyperplane dot product against the
+    embedding column (float32 parquet values promote exactly to double
+    on both engines; summation is sequential on both)."""
+    lits = ", ".join(repr(x) for x in plane)
+    return f"list_dot_product(CAST(embedding AS DOUBLE[]), [{lits}])"
+
+
+def _srp_bucket_sql(dim: int, n_planes: int, table: int) -> str:
+    """Same bucket id as similarity.lsh_bucket_col for one table."""
+    from ccrawler_spark.textops.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, table)
+    return "(" + " + ".join(
+        f"CASE WHEN {_plane_sql(p)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     from ccrawler_spark.textops.dedup import MINHASH_M, minhash_mix_params
 
@@ -368,6 +400,22 @@ def oracle_sql() -> dict[str, str]:
         + " END"
     )
     sig_list = "[" + ", ".join(f"sig_{i}" for i in range(N_MINHASH)) + "]"
+
+    # SRP-LSH literals — the same deterministic hyperplanes and query
+    # ring the Spark operators use (similarity.ann_topk_lsh /
+    # embedding_near_dup_pairs with n_planes=8, n_tables=4)
+    from ccrawler_spark.textops.similarity import _hyperplanes
+
+    qbits = 0
+    for p, plane in enumerate(_hyperplanes(EMB_DIM, 8, 0)):
+        if sum(qc * x for qc, x in zip(QUERY_VEC, plane)) > 0:
+            qbits |= 1 << p
+    ann_ring = ", ".join(
+        str(v) for v in [qbits] + [qbits ^ (1 << p) for p in range(8)]
+    )
+    srp_table_cases = " ".join(
+        f"WHEN {t} THEN {_srp_bucket_sql(EMB_DIM, 10, t)}" for t in range(4)
+    )
     lsh_banded_cte = f"""
               SELECT doc_id, band, bucket
               FROM sigs, (VALUES {band_values}) AS bb(band),
@@ -540,5 +588,57 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))), 4) AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_cosine_topk_lsh": f"""
+            WITH q AS (SELECT [{q}] AS qv)
+            SELECT vec_id, label,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM embeddings, q
+            WHERE {_srp_bucket_sql(EMB_DIM, 8, 0)} IN ({ann_ring})
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            WITH bk AS (
+              SELECT vec_id, tbl,
+                     CASE tbl {srp_table_cases} END AS bucket
+              FROM embeddings, (VALUES (0), (1), (2), (3)) AS t(tbl)
+            ), pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bk a JOIN bk b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM (
+              SELECT id_a, id_b,
+                     round(list_dot_product(ea, eb)
+                       / (sqrt(list_dot_product(ea, ea))
+                          * sqrt(list_dot_product(eb, eb))), 4) AS cosine
+              FROM (SELECT pairs.id_a, pairs.id_b,
+                           CAST(va.embedding AS DOUBLE[]) AS ea,
+                           CAST(vb.embedding AS DOUBLE[]) AS eb
+                    FROM pairs
+                    JOIN embeddings va ON va.vec_id = pairs.id_a
+                    JOIN embeddings vb ON vb.vec_id = pairs.id_b)
+            ) WHERE cosine >= 0.4
+        """,
+        "simhash_near_pairs": f"""
+            WITH th AS (SELECT doc_id,
+                          list_transform({_TOKENS}, t -> {_h('t')}) AS th
+                        FROM documents),
+            s AS (SELECT doc_id, ({simhash_sum}) AS simhash FROM th),
+            banded AS (
+              SELECT doc_id, simhash, band,
+                     (simhash >> (15 * band)) & 32767 AS key
+              FROM s, (VALUES (0), (1), (2), (3)) AS bb(band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                     AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
         """,
     }

