@@ -30,6 +30,11 @@ class CrawlConf:
     salt_threshold_factor: float = 4.0  # τ = factor × mean host queue length
     salt_fanout: int = 8
     robots_version: int = 1  # as-of version for robots rules (O14)
+    # O30 recrawl: 0 disables. When > 0, a fetched URL re-enters the
+    # frontier with discover_ts = fetch virtual time + interval, and a
+    # queued row is eligible for round r only once discover_ts ≤
+    # round_ts(r) (due predicate, docs/SEMANTICS.md §6a).
+    recrawl_interval_micros: int = 0
     seed: int = 42
     t0_micros: int = T0_MICROS
     round_period_micros: int = ROUND_PERIOD_MICROS

@@ -102,6 +102,13 @@ class SnapshotStore:
             fr["base"], fr["adds"], fr["removes"], fr.get("small_removes", True)
         )
 
+    @staticmethod
+    def _round_of(path: str) -> int:
+        """Data-file sequence number from the path name (base-r{n} /
+        adds-r{n} / removes-r{n}) — the Iceberg-v2 sequence-number
+        analogue that scopes equality-deletes."""
+        return int(str(path).rsplit("-r", 1)[1])
+
     def read_frontier_from(
         self,
         base: str,
@@ -109,17 +116,46 @@ class SnapshotStore:
         removes: list[str],
         small_removes: bool = True,
     ) -> DataFrame:
-        """base ∪ adds − removes (equality-deletes, merge-on-read)."""
-        df = self.spark.read.parquet(self.data_path(base))
-        add_dfs = [self.spark.read.parquet(self.data_path(p)) for p in adds]
-        if add_dfs:
-            df = reduce(DataFrame.unionByName, add_dfs, df)
-        rm_dfs = [self.spark.read.parquet(self.data_path(p)) for p in removes]
-        if rm_dfs:
-            rm = reduce(DataFrame.unionByName, rm_dfs)
-            df = df.join(rm.hint("broadcast") if small_removes else rm,
-                         on=["url_hash", "url"], how="left_anti")
-        return df
+        """base ∪ adds − removes, sequence-aware merge-on-read.
+
+        An equality-delete from round n removes a key only from data
+        files written in rounds < n (Iceberg-v2 sequence-number
+        semantics). That makes the add→remove→re-add lifecycle of O30
+        recrawl correct: a URL fetched in round n (remove-r{n}) and
+        re-enqueued the same round (adds-r{n}) survives, while its
+        older copy (added in some round < n) is deleted. Without
+        recrawl every key is added at most once and removed strictly
+        later, so this reduces to the plain anti-join it replaces.
+        """
+        from pyspark.sql import functions as F
+
+        def tagged(path: str) -> DataFrame:
+            return self.spark.read.parquet(self.data_path(path)).withColumn(
+                "_ar", F.lit(self._round_of(path))
+            )
+
+        df = reduce(DataFrame.unionByName, [tagged(p) for p in [base, *adds]])
+        if removes:
+            rm = reduce(
+                DataFrame.unionByName,
+                [
+                    self.spark.read.parquet(self.data_path(p)).withColumn(
+                        "_rr", F.lit(self._round_of(p))
+                    )
+                    for p in removes
+                ],
+            )
+            rm_latest = rm.groupBy("url_hash", "url").agg(
+                F.max("_rr").alias("_max_rr")
+            )
+            if small_removes:
+                rm_latest = rm_latest.hint("broadcast")
+            df = (
+                df.join(rm_latest, on=["url_hash", "url"], how="left")
+                .filter(F.col("_max_rr").isNull() | (F.col("_max_rr") <= F.col("_ar")))
+                .drop("_max_rr")
+            )
+        return df.drop("_ar")
 
     def read_seen(self, n: int) -> DataFrame:
         """Union of append-only seen deltas (url_hash, url, seen_part).

@@ -133,7 +133,14 @@ def run_oracle(
 
     for r in range(1, rounds + 1):
         round_ts = conf.t0_micros + r * conf.round_period_micros
-        queued = [row for row in frontier.values() if row.status == "queued"]
+        queued = [
+            row for row in frontier.values()
+            if row.status == "queued"
+            # O30/O10 due predicate (only when recrawl is enabled — the
+            # engine applies the same conditional filter)
+            and (conf.recrawl_interval_micros == 0
+                 or row.discover_ts <= round_ts)
+        ]
 
         # 1. robots gate
         allowed, denied = [], []
@@ -185,6 +192,17 @@ def run_oracle(
             seq += 1
             del frontier[row.url]
             fetch_ts = round_ts + s * 1000
+            if conf.recrawl_interval_micros > 0:
+                # O30: re-enqueue at fetch virtual time + interval,
+                # keeping url/priority/depth (already in `seen`)
+                frontier[row.url] = FrontierRow(
+                    url=row.url,
+                    url_hash=row.url_hash,
+                    host=row.host,
+                    priority=row.priority,
+                    discover_ts=fetch_ts + conf.recrawl_interval_micros,
+                    depth=row.depth,
+                )
             src_hash = row.url_hash
             if row.depth + 1 > conf.max_depth:
                 continue

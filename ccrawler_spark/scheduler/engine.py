@@ -133,6 +133,13 @@ class CrawlEngine:
         round_ts = conf.t0_micros + r * conf.round_period_micros
 
         frontier = store.read_frontier(r - 1)
+        if conf.recrawl_interval_micros > 0:
+            # O30/O10 due predicate: only rows whose discover_ts (= next
+            # due time for recrawl rows) has arrived compete this round;
+            # the rest stay queued untouched (no delta written for them)
+            frontier = frontier.filter(
+                F.col("discover_ts") <= F.timestamp_micros(F.lit(round_ts))
+            )
 
         # 1. robots gate (broadcast join, Catalyst longest-prefix);
         # cached so the frontier is scanned once for dequeue AND denials
@@ -210,13 +217,36 @@ class CrawlEngine:
         old_versions = {
             int(b): v.get("bloom_version", 0) for b, v in prev["lineage"].items()
         }
+        # O30: fetched rows re-enter the frontier at fetch_ts + interval;
+        # they ride the same adds delta but never touch seen/bloom (the
+        # URL is already seen — re-enqueue is deliberate)
+        recrawl = None
+        if conf.recrawl_interval_micros > 0 and n_fetched:
+            recrawl = scheduled.select(
+                "url", "url_hash", "host", "host_bucket", "priority",
+                F.timestamp_micros(
+                    F.lit(round_ts)
+                    + F.col("slot_ms") * F.lit(1000)
+                    + F.lit(conf.recrawl_interval_micros)
+                ).alias("discover_ts"),
+                "depth", "image_id",
+            ).withColumn("status", F.lit("queued")).withColumn(
+                "retry_count", F.lit(0)
+            ).select(*FRONTIER_COLS)
+
         jobs = {}
         with ThreadPoolExecutor(max_workers=4) as ex:
-            if n_fresh:
+            if n_fresh or recrawl is not None:
+                additions = fresh if recrawl is None else (
+                    fresh.unionByName(recrawl).repartition(
+                        64, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
+                    )
+                )
                 jobs["adds"] = ex.submit(
-                    store.write_parquet, fresh, "frontier", f"adds-r{r}",
+                    store.write_parquet, additions, "frontier", f"adds-r{r}",
                     partition_by=["host_bucket"],
                 )
+            if n_fresh:
                 # repartition by the write-partition key: otherwise each
                 # of the 64 host_bucket tasks writes a file into every
                 # seen_part dir (64×64 small files per round)
@@ -255,6 +285,7 @@ class CrawlEngine:
             denied=denied_counts,
             fresh=fresh_counts,
             bloom_versions=new_versions,
+            recrawled=sched_counts if recrawl is not None else None,
         )
         metrics_path = self._write_metrics(lineage, r)
 
@@ -302,7 +333,9 @@ class CrawlEngine:
         rows = df.groupBy("host_bucket").count().collect()
         return {int(r["host_bucket"]): int(r["count"]) for r in rows}
 
-    def _lineage_from_counts(self, prev, sched, denied, fresh, bloom_versions):
+    def _lineage_from_counts(self, prev, sched, denied, fresh, bloom_versions,
+                             recrawled=None):
+        recrawled = recrawled or {}
         buckets = set(prev) | set(sched) | set(denied) | set(fresh)
         out = {}
         for b in sorted(int(x) for x in buckets):
@@ -310,6 +343,7 @@ class CrawlEngine:
             offset = (
                 p.get("frontier_offset", 0)
                 - sched.get(b, 0) - denied.get(b, 0) + fresh.get(b, 0)
+                + recrawled.get(b, 0)
             )
             out[str(b)] = {
                 "frontier_offset": offset,
@@ -317,6 +351,7 @@ class CrawlEngine:
                 "fetched": sched.get(b, 0),
                 "denied": denied.get(b, 0),
                 "enqueued": fresh.get(b, 0),
+                "recrawled": recrawled.get(b, 0),
             }
         return out
 
@@ -339,6 +374,8 @@ class CrawlEngine:
             "fetched": pa.array([v["fetched"] for _, v in items], pa.int64()),
             "denied": pa.array([v["denied"] for _, v in items], pa.int64()),
             "enqueued": pa.array([v["enqueued"] for _, v in items], pa.int64()),
+            "recrawled": pa.array(
+                [v.get("recrawled", 0) for _, v in items], pa.int64()),
         })
         out = pathlib.Path(self.store.data_path("metrics", f"r{r}"))
         out.mkdir(parents=True, exist_ok=True)

@@ -26,19 +26,20 @@ def load_fixture_meta(size: str):
     return fdir, seeds, [h for h, _ in hp], [p for _, p in hp]
 
 
-def oracle_run(size: str, rounds: int | None = None) -> OracleResult:
+def oracle_run(size: str, rounds: int | None = None, conf=None) -> OracleResult:
     _, seeds, hosts, pages = load_fixture_meta(size)
     rounds = rounds if rounds is not None else SIZES[size][3]
-    return run_oracle(seeds, hosts, pages, SIZE_CONF[size], rounds)
+    return run_oracle(seeds, hosts, pages, conf or SIZE_CONF[size], rounds)
 
 
-def engine_run(spark, size: str, out_dir: str, rounds: int | None = None):
+def engine_run(spark, size: str, out_dir: str, rounds: int | None = None,
+               conf=None):
     """Bootstrap + rounds; returns (engine, store, stats list)."""
     from ccrawler_spark.scheduler.cli import make_engine
 
     fdir, _, _, _ = load_fixture_meta(size)
     rounds = rounds if rounds is not None else SIZES[size][3]
-    engine, store = make_engine(spark, str(fdir), out_dir, size=size)
+    engine, store = make_engine(spark, str(fdir), out_dir, conf=conf, size=size)
     seeds = spark.read.parquet(f"{fdir}/seeds.parquet")
     stats = [engine.bootstrap(seeds)]
     for r in range(1, rounds + 1):
