@@ -171,10 +171,26 @@ class SnapshotStore:
         return reduce(DataFrame.unionByName, dfs)
 
     def read_bloom(self, n: int) -> DataFrame:
-        """Latest bloom segment per host_bucket (delta chain, last wins)."""
+        """All bloom segment rows (delta chain, multiple versions)."""
         m = self.read_manifest(n)
         paths = [self.data_path(p) for p in m["bloom"]["deltas"]]
         return self.spark.read.parquet(*paths)
+
+    def read_bloom_latest(self, n: int) -> DataFrame:
+        """Latest segment row per host_bucket — the task-side bloom
+        input: consumers cogroup it by host_bucket so each task holds
+        only its buckets' segments (never an O(B × segment) driver
+        collect; SURVEY.md §4.3)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("host_bucket").orderBy(F.col("version").desc())
+        return (
+            self.read_bloom(n)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.data_path("fetch_log"))

@@ -2,7 +2,8 @@
 
 One engine round is a single declarative DataFrame DAG over the
 snapshot-store tables; the only driver-side state is the manifest
-(small JSON) and the collected bloom segments (≤ B × segment_bytes).
+(small JSON) — bloom segments stay task-side (cogrouped per
+host_bucket), never collected or broadcast from the driver.
 Rounds are idempotent pure functions of (snapshot n-1, conf) — the
 virtual clock (SEMANTICS.md §6) and total-order keys make re-running a
 crashed round byte-identical, which is the resumability contract
@@ -14,7 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StructField, StructType,
@@ -103,7 +104,9 @@ class CrawlEngine:
         seen_path = self.store.write_parquet(
             seen0, "seen", "delta-r0", partition_by=["seen_part"]
         )
-        bloom_path = self._write_bloom_delta(frontier0, {}, {}, 0)
+        bloom_path = self._write_bloom_delta(
+            frontier0, self.spark.createDataFrame([], BLOOM_SCHEMA), 0
+        )
         seed_buckets = self._bucket_counts(frontier0)
         lineage = self._lineage_from_counts(
             prev={}, sched={}, denied={}, fresh=seed_buckets,
@@ -181,8 +184,11 @@ class CrawlEngine:
         candidates = stages.dedup_in_round(candidates)
         candidates = stages.as_frontier_rows(candidates, conf)
         seen = store.read_seen(r - 1)
-        bloom_segments = self._load_bloom(r - 1)
-        fresh = seen_dedup(candidates, seen, conf, bloom_segments)
+        # task-side bloom: B small segment rows, cached once per round —
+        # the probe and the delta build each cogroup on host_bucket, so
+        # a task holds only its buckets' segments (no driver collect)
+        bloom = store.read_bloom_latest(r - 1).cache()
+        fresh = seen_dedup(candidates, seen, conf, bloom)
         fresh = (
             fresh.withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
@@ -260,8 +266,7 @@ class CrawlEngine:
                     partition_by=["seen_part"],
                 )
                 jobs["bloom"] = ex.submit(
-                    self._write_bloom_delta, fresh, bloom_segments or {},
-                    old_versions, r,
+                    self._write_bloom_delta, fresh, bloom, r
                 )
             if n_fetched + n_denied:
                 removes = scheduled.select("url_hash", "url").unionByName(
@@ -322,6 +327,7 @@ class CrawlEngine:
             "lineage": lineage,
         })
         queued_after = sum(v["frontier_offset"] for v in lineage.values())
+        bloom.unpersist()
         scheduled.unpersist()
         sched0.unpersist()
         gated.unpersist()
@@ -382,58 +388,50 @@ class CrawlEngine:
         pq.write_table(table, out / "part-0.parquet")
         return str(pathlib.Path("metrics") / f"r{r}")
 
-    def _load_bloom(self, n: int) -> dict[int, np.ndarray]:
-        """Latest segment per bucket, collected to the driver (≤ B ×
-        segment bytes; at design scale tasks would fetch per-bucket
-        segments instead — SURVEY.md §4.3)."""
-        df = self.store.read_bloom(n)
-        w = Window.partitionBy("host_bucket").orderBy(F.col("version").desc())
-        latest = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("host_bucket", "bits")
-        )
-        return {
-            int(row["host_bucket"]): np.frombuffer(row["bits"], dtype=np.uint8)
-            for row in latest.collect()
-        }
-
-    def _write_bloom_delta(
-        self,
-        fresh: DataFrame,
-        old_segments: dict[int, np.ndarray],
-        old_versions: dict[int, int],
-        r: int,
-    ) -> str:
-        """O22: per-bucket segment build/merge via applyInPandas."""
+    def _write_bloom_delta(self, fresh: DataFrame, bloom: DataFrame,
+                           r: int) -> str:
+        """O22: per-bucket segment build/merge, task-side — the fresh
+        keys cogroup with the latest segment rows on host_bucket, so
+        merging never moves segments through the driver and only
+        touched buckets produce a delta row (untouched buckets keep
+        their version; their rows simply yield nothing)."""
         conf = self.conf
-        bc_old = self.spark.sparkContext.broadcast(
-            {b: s.tobytes() for b, s in old_segments.items()}
-        )
-        bc_ver = self.spark.sparkContext.broadcast(old_versions)
         seg_bits = conf.bloom_segment_bits
         num_hashes = conf.bloom_num_hashes
 
-        def build(key, pdf):
+        def build(key, fresh_pdf, bloom_pdf):
             import pandas as pd
 
+            if len(fresh_pdf) == 0:
+                return pd.DataFrame({
+                    "host_bucket": pd.Series([], dtype="int32"),
+                    "version": pd.Series([], dtype="int64"),
+                    "bits": pd.Series([], dtype=object),
+                })
             bucket = int(key[0])
-            old = bc_old.value.get(bucket)
-            seg = (
-                np.frombuffer(old, dtype=np.uint8).copy()
-                if old is not None
-                else bf.empty_segment(seg_bits)
+            if len(bloom_pdf):
+                i = bloom_pdf["version"].idxmax()
+                seg = np.frombuffer(
+                    bloom_pdf.loc[i, "bits"], dtype=np.uint8
+                ).copy()
+                ver = int(bloom_pdf.loc[i, "version"]) + 1
+            else:
+                seg = bf.empty_segment(seg_bits)
+                ver = 1
+            seg = bf.add_keys(
+                seg, fresh_pdf["url_hash"].to_numpy(np.int64), num_hashes
             )
-            seg = bf.add_keys(seg, pdf["url_hash"].to_numpy(np.int64), num_hashes)
-            return pd.DataFrame(
-                {
-                    "host_bucket": [bucket],
-                    "version": [bc_ver.value.get(bucket, 0) + 1],
-                    "bits": [seg.tobytes()],
-                }
-            )
+            return pd.DataFrame({
+                "host_bucket": [bucket],
+                "version": [ver],
+                "bits": [seg.tobytes()],
+            })
 
-        delta = fresh.select("host_bucket", "url_hash").groupBy(
-            "host_bucket"
-        ).applyInPandas(build, BLOOM_SCHEMA)
+        delta = (
+            fresh.select("host_bucket", "url_hash")
+            .groupBy("host_bucket")
+            .cogroup(bloom.select("host_bucket", "version", "bits")
+                     .groupBy("host_bucket"))
+            .applyInPandas(build, BLOOM_SCHEMA)
+        )
         return self.store.write_parquet(delta, "bloom", f"r{r}")
