@@ -6,7 +6,7 @@ channel c in 0..2, 8×8 blocks in row-major block order, each emitted as
 64 int16 little-endian quantized coefficients in zigzag order.
 
 The quant table QTAB is the public IJG/JPEG luminance base table scaled
-to quality 92 (scale = 200 - 2*92 = 16; q = max(1, (base*16 + 50)//100)),
+to quality 95 (scale = 200 - 2*95 = 10; q = max(1, (base*10 + 50)//100)),
 embedded as a constant so the codec is bit-stable across numpy versions.
 Rounding is half-away-from-zero in float64. Lossy by construction; the
 fixture generator asserts 40 ≤ PSNR < ∞ per image (FIXTURES.md §2).

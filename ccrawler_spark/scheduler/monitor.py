@@ -51,6 +51,8 @@ def hot_hosts(frontier: DataFrame, conf: CrawlConf) -> DataFrame:
     metrics, not correctness."""
     counts = frontier.groupBy("host").agg(F.count("*").alias("queued"))
     stats = counts.agg(F.avg("queued").alias("mean")).first()
+    if stats["mean"] is None:  # drained frontier — a normal terminal state
+        return counts.withColumn("suggested_fanout", F.lit(0))
     tau = float(stats["mean"]) * conf.salt_threshold_factor
     return counts.filter(F.col("queued") > tau).withColumn(
         "suggested_fanout",

@@ -46,11 +46,14 @@ FRONTIER_STREAM_SCHEMA = StructType([
 def frontier_delta_stream(spark: SparkSession, store_root: str,
                           max_files_per_trigger: int | None = None) -> DataFrame:
     """O42: each committed round's adds-delta becomes a micro-batch.
-    Only base/adds dirs are enqueue events — removes-* are equality
-    deletes with a different schema and stay out of the stream.
-    ``max_files_per_trigger`` splits a drain into several micro-batches
-    (append-mode windows flush only when a later batch advances the
-    watermark)."""
+    Enqueue events are exactly: the bootstrap base (base-r0) plus every
+    adds-* delta. Compaction bases (base-r{n>0}) are REWRITES of rows
+    already streamed — including them would re-emit every still-queued
+    row past the dedup watermark and double-count discovery rates — and
+    removes-* are equality deletes with a different schema; both stay
+    out of the glob. ``max_files_per_trigger`` splits a drain into
+    several micro-batches (append-mode windows flush only when a later
+    batch advances the watermark)."""
     reader = (
         spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
@@ -58,7 +61,7 @@ def frontier_delta_stream(spark: SparkSession, store_root: str,
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(f"{store_root}/data/frontier/{{base,adds}}-*")
+    return reader.parquet(f"{store_root}/data/frontier/{{base-r0,adds-r*}}")
 
 
 def streaming_dedup(frontier: DataFrame, delay: str = "10 minutes") -> DataFrame:
@@ -100,6 +103,7 @@ def stateful_politeness(frontier: DataFrame, conf: CrawlConf) -> DataFrame:
     time (never wall clock). Ordering within a batch uses the same
     total ORD key as the batch engine.
     """
+    import numpy as np
     import pandas as pd
 
     delay_ms = conf.default_crawl_delay_ms
@@ -110,17 +114,27 @@ def stateful_politeness(frontier: DataFrame, conf: CrawlConf) -> DataFrame:
             last_slot, fetched = state.get
         else:
             last_slot, fetched = -delay_ms, 0
-        rows = []
+        out = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["priority", "discover_ts", "url_hash", "url"])
-            for _, row in pdf.iterrows():
-                last_slot += delay_ms
-                fetched += 1
-                rows.append((host, row["url"], row["url_hash"],
-                             last_slot, fetched))
+            n = len(pdf)
+            # vectorized slot arithmetic: next n slots continue from the
+            # persisted last_slot at delay_ms spacing (no per-row loop)
+            slots = last_slot + (np.arange(n, dtype=np.int64) + 1) * delay_ms
+            seqs = fetched + np.arange(n, dtype=np.int64) + 1
+            out.append(pd.DataFrame({
+                "host": host,
+                "url": pdf["url"].to_numpy(),
+                "url_hash": pdf["url_hash"].to_numpy(),
+                "slot_ms": slots,
+                "seq_in_host": seqs,
+            }))
+            if n:
+                last_slot = int(slots[-1])
+                fetched = int(seqs[-1])
         state.update((last_slot, fetched))
-        yield pd.DataFrame(
-            rows, columns=["host", "url", "url_hash", "slot_ms", "seq_in_host"]
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=["host", "url", "url_hash", "slot_ms", "seq_in_host"]
         )
 
     from pyspark.sql.streaming.state import GroupStateTimeout

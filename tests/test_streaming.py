@@ -83,3 +83,37 @@ def test_stateful_politeness_slots(spark, tiny_store, tmp_path):
         assert slots == sorted(slots)
         diffs = {b - a for a, b in zip(slots, slots[1:])}
         assert diffs <= {TINY.default_crawl_delay_ms}, (host, diffs)
+
+
+def test_frontier_stream_exactly_once_under_compaction(
+    spark, tiny_fixtures, tmp_path_factory, tmp_path
+):
+    """ADVICE r1: compaction rewrites base-r{n>0}; the stream glob must
+    NOT re-emit those rewritten rows — each enqueue appears exactly
+    once even when several compactions happen mid-run."""
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    out = tmp_path_factory.mktemp("stream_compact")
+    fdir, _, _, _ = tt.load_fixture_meta("tiny")
+    engine, store = make_engine(spark, str(fdir), str(out), size="tiny")
+    store.compact_threshold = 2
+    seeds = spark.read.parquet(f"{fdir}/seeds.parquet")
+    engine.bootstrap(seeds)
+    for r in range(1, 5):
+        engine.run_round(r)
+    # at least one compaction base must exist for this test to bite
+    bases = list((store.root / "data" / "frontier").glob("base-r*"))
+    assert any(b.name != "base-r0" for b in bases), bases
+
+    stream = fs.frontier_delta_stream(spark, str(store.root))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("feed_compact")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    q.awaitTermination(120)
+    urls = [r["url"] for r in spark.sql("SELECT url FROM feed_compact").collect()]
+    assert len(set(urls)) == len(urls), "duplicate enqueue events emitted"
+    assert set(urls) == tt.oracle_run("tiny", rounds=4).seen
