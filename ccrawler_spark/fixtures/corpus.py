@@ -71,8 +71,13 @@ def caption_of(canonical_url: str) -> str:
 
 
 def phash_of(pixels: np.ndarray) -> int:
-    """64-bit mean-threshold perceptual hash (SEMANTICS.md §3), signed."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    """64-bit mean-threshold perceptual hash (SEMANTICS.md §3), signed.
+
+    The channel mean is computed as an exact uint16 sum divided by 3.0
+    — the sum of three uint8 values is exact in both formulations, so
+    this is bit-identical to ``astype(float64).mean(axis=2)`` while
+    skipping the (h, w, 3) float64 temporary (per-fetch hot path)."""
+    gray = pixels.sum(axis=2, dtype=np.uint16) / 3.0
     h, w = gray.shape
     th, tw = h // 8, w // 8
     cells = gray.reshape(8, th, 8, tw).mean(axis=(1, 3))

@@ -59,3 +59,29 @@ def priority_of(url_col: Column) -> Column:
 def image_id_of(url_col: Column) -> Column:
     """First 16 hex chars of sha256(canonical url), lowercase."""
     return F.lower(F.substring(F.sha2(url_col.cast("binary"), 256), 1, 16))
+
+
+def expected_caption(url_col: Column) -> Column:
+    """Reference caption of a canonical URL (SEMANTICS.md §3), fully
+    JVM-side: n_words = 8 + umod(xxh64(u), 9); word i =
+    WORDLIST[umod(xxh64(f"cap|{u}|{i}"), 256)]. Spark's ``xxhash64``
+    IS the pinned hash, so the caption invariant check needs no Python
+    at all — it used to cost ~70 µs/row of pure-Python xxh64 inside
+    the decode UDF (12 hash calls per row)."""
+    from ccrawler_spark.fixtures.wordlist import WORDLIST
+
+    wl = F.array(*[F.lit(w) for w in WORDLIST])
+    n_words = (umod_long(F.xxhash64(url_col), 9) + 8).cast("int")
+    word = lambda i: F.element_at(
+        wl,
+        (
+            umod_long(
+                F.xxhash64(
+                    F.concat(F.lit("cap|"), url_col, F.lit("|"), i.cast("string"))
+                ),
+                256,
+            )
+            + 1
+        ).cast("int"),
+    )
+    return F.concat_ws(" ", F.transform(F.sequence(F.lit(0), n_words - 1), word))

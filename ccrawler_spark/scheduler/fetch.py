@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ccrawler_spark.functions.spark_exprs import expected_caption
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -55,12 +56,13 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         url_arr = batch.column("url")
         bytes_arr = batch.column("bytes")
         fmts = batch.column("fmt").to_pylist()
-        caps = batch.column("caption").to_pylist()
+        # caption verified JVM-side (spark_exprs.expected_caption);
+        # the boolean passes through this UDF untouched
+        caption_ok = batch.column("caption_ok").to_numpy(zero_copy_only=False)
         phashes = batch.column("phash").to_numpy(zero_copy_only=False)
         n = batch.num_rows
         fetch_ok = np.zeros(n, dtype=bool)
         pixels_ok = np.zeros(n, dtype=bool)
-        caption_ok = np.zeros(n, dtype=bool)
         phash_ok = np.zeros(n, dtype=bool)
         psnr_db = np.zeros(n, dtype=np.float64)
         dec_w = np.zeros(n, dtype=np.int32)
@@ -96,13 +98,14 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 # compute it for a failing row (diagnostic)
                 psnr_db[i] = 999.0 if eq else codecs.psnr(expected, dec)
                 phash_ok[i] = ref.phash_of(dec) == int(phashes[i])
-            caption_ok[i] = ref.caption_of(url) == caps[i]
         yield pa.RecordBatch.from_pydict(
             {
                 "url": url_arr,
                 "fetch_ok": pa.array(fetch_ok),
                 "pixels_ok": pa.array(pixels_ok),
-                "caption_ok": pa.array(caption_ok),
+                "caption_ok": pa.array(
+                    np.asarray(caption_ok, dtype=bool) & fetch_ok
+                ),
                 "phash_ok": pa.array(phash_ok),
                 "psnr_db": pa.array(psnr_db),
                 "dec_w": pa.array(dec_w),
@@ -124,6 +127,11 @@ def fetch_and_decode(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
     hits = corpus.select("image_id", "bytes", "fmt", "caption", "phash").join(
         scheduled.select("image_id", "url").hint("broadcast"),
         on="image_id", how="inner",
+    ).withColumn(
+        # O41 caption invariant, entirely in codegen — JVM xxhash64 is
+        # the pinned hash, so no caption string or Python hashing ever
+        # enters the Arrow batch
+        "caption_ok", expected_caption(F.col("url")) == F.col("caption")
     )
     # AQE coalesces the join output toward 64MB partitions, which starves
     # the Arrow workers (decode is CPU-bound, ~0.5 ms/image, not
@@ -131,7 +139,7 @@ def fetch_and_decode(scheduled: DataFrame, corpus: DataFrame) -> DataFrame:
     spark = scheduled.sparkSession
     n_slots = spark.sparkContext.defaultParallelism * 2
     checks = (
-        hits.select("url", "bytes", "fmt", "caption", "phash")
+        hits.select("url", "bytes", "fmt", "caption_ok", "phash")
         .repartition(n_slots)
         .mapInArrow(_decode_batches, StructType(DECODE_CHECK_FIELDS))
     )

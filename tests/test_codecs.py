@@ -50,3 +50,48 @@ def test_corpus_row_schema():
     assert set(r) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
     assert len(r["image_id"]) == 16
     assert 8 <= len(r["caption"].split()) <= 16
+
+
+def test_dct8_f32_decode_bit_identical_to_f64():
+    """The float32 batched hot path must reproduce the float64
+    reference decode exactly across a corpus sample."""
+    import numpy as np
+
+    from ccrawler_spark.codecs import dct8
+    from ccrawler_spark.fixtures import corpus as ref
+
+    checked = 0
+    for i in range(400):
+        u = f"http://h{i % 97}.example/p/{i}"
+        if ref.fmt_of(u) != "dct8":
+            continue
+        pay = dct8.encode(ref.pixels_of(u))
+        assert np.array_equal(dct8.decode(pay), dct8.decode_f64(pay)), u
+        checked += 1
+    assert checked > 50
+
+
+def test_psnr_phash_integer_paths_bit_identical():
+    """Integer-arithmetic psnr/phash fast paths == float64 originals."""
+    import numpy as np
+
+    from ccrawler_spark import codecs
+    from ccrawler_spark.fixtures import corpus as ref
+
+    for i in range(100):
+        u = f"http://h{i % 31}.example/p/{i}"
+        px = ref.pixels_of(u)
+        dec = codecs.decode(codecs.encode(px, ref.fmt_of(u)), ref.fmt_of(u))
+        # reference float64 formulations
+        d = px.astype(np.float64) - dec.astype(np.float64)
+        mse = float(np.mean(d * d))
+        want = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+        got = codecs.psnr(px, dec)
+        assert got == want, u
+        gray64 = dec.astype(np.float64).mean(axis=2)
+        h, w = gray64.shape
+        cells = gray64.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+        bits = (cells > cells.mean()).ravel()
+        v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        want_ph = v - (1 << 64) if v >= (1 << 63) else v
+        assert ref.phash_of(dec) == want_ph, u

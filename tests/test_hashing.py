@@ -39,3 +39,21 @@ def test_umod_expr_matches_python(spark):
             k = xxhash64_str(row["s"])
             assert row["m"] == umod(k, m), (row["s"], m)
             assert row["sh"] == ushift(k, 16)
+
+
+def test_expected_caption_matches_python_reference(spark):
+    """O41 caption invariant moved JVM-side: spark_exprs.expected_caption
+    must equal fixtures.corpus.caption_of for every URL."""
+    from pyspark.sql import functions as F
+
+    from ccrawler_spark.fixtures import corpus as ref
+    from ccrawler_spark.functions.spark_exprs import expected_caption
+
+    urls = [f"http://h{i % 53}.example/p/{i}" for i in range(300)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["cap"]
+        for r in df.select("url", expected_caption(F.col("url")).alias("cap")).collect()
+    }
+    for u in urls:
+        assert got[u] == ref.caption_of(u), u
