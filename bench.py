@@ -41,6 +41,15 @@ def main() -> int:
 
     spark = build_session(CPUS)
     qs = entry.queries()
+    # session warm-up, untimed: JVM/executor spawn, first-shuffle and
+    # first-parquet-footer costs are startup, not query cost (the first
+    # headline query was absorbing ~4.5 s of them)
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).repartition(8, "id").groupBy(
+        F.pmod("id", F.lit(7))
+    ).count().count()
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

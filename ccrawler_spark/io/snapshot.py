@@ -223,6 +223,8 @@ class SnapshotStore:
             m = json.load(open(self._mpath(n)))
             fr = m["frontier"]
             referenced.add(fr["base"])
+            if fr.get("last_adds"):
+                referenced.add(fr["last_adds"])
             referenced.update(fr["adds"])
             referenced.update(fr["removes"])
             referenced.update(m["seen"]["deltas"])

@@ -116,7 +116,7 @@ class CrawlEngine:
         self.store.commit(0, {
             "round": 0,
             "frontier": {"base": base, "adds": [], "removes": [],
-                          "small_removes": True},
+                          "small_removes": True, "last_adds": base},
             "seen": {"deltas": [seen_path]},
             "bloom": {"deltas": [bloom_path]},
             "metrics": {"paths": [metrics_path]},
@@ -144,15 +144,35 @@ class CrawlEngine:
                 F.col("discover_ts") <= F.timestamp_micros(F.lit(round_ts))
             )
 
-        # 1. robots gate (broadcast join, Catalyst longest-prefix);
-        # cached so the frontier is scanned once for dequeue AND denials
-        gated = stages.robots_gate(frontier, self.robots_active, conf).cache()
-        denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS)
+        # 1. robots gate (broadcast join, Catalyst longest-prefix) fused
+        # into the frontier scan — no 10M-row cache materialization.
+        # `denied` comes from a separate tiny pass: the gate is static
+        # (robots_active is fixed per conf.robots_version), so any row
+        # that survived a previous round's gate passes again — newly
+        # deniable rows can only be in the PREVIOUS round's adds delta
+        # (tracked as manifest frontier.last_adds, kept referenced even
+        # after compaction folds it into a base).
+        gated = stages.robots_gate(frontier, self.robots_active, conf)
         allowed = gated.filter(F.col("allowed"))
+        if conf.recrawl_interval_micros > 0:
+            # with a due predicate, denial timing depends on
+            # eligibility — gate the full eligible frontier
+            denied = gated.filter(~F.col("allowed")).select(*FRONTIER_COLS)
+        else:
+            last_adds = prev["frontier"].get("last_adds")
+            if last_adds:
+                fresh_rows = self.spark.read.parquet(self.store.data_path(last_adds))
+                denied = (
+                    stages.robots_gate(fresh_rows, self.robots_active, conf)
+                    .filter(~F.col("allowed"))
+                    .select(*FRONTIER_COLS)
+                )
+            else:
+                denied = frontier.filter(F.lit(False)).select(*FRONTIER_COLS)
 
         # 2-4. dequeue: per-host top-k → budget K → politeness slots;
         # cached BEFORE the seq step (its offsets collect is an action)
-        sched0 = stages.dequeue(allowed, conf).cache()
+        sched0 = stages.dequeue(allowed, conf, n_hosts=self.H).cache()
         # 5. fetch sequence (cumulative seq across rounds)
         seq_offset = prev["counters"]["fetched_total"]
         scheduled = stages.with_fetch_sequence(sched0, r, seq_offset).cache()
@@ -314,7 +334,7 @@ class CrawlEngine:
         self.store.commit(r, {
             "round": r,
             "frontier": {"base": base, "adds": adds, "removes": removes_list,
-                          "small_removes": True},
+                          "small_removes": True, "last_adds": adds_path},
             "seen": {"deltas": prev["seen"]["deltas"]
                      + ([seen_path] if seen_path else [])},
             "bloom": {"deltas": prev["bloom"]["deltas"]
@@ -330,7 +350,6 @@ class CrawlEngine:
         bloom.unpersist()
         scheduled.unpersist()
         sched0.unpersist()
-        gated.unpersist()
         fresh.unpersist()
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
 

@@ -97,7 +97,8 @@ def robots_gate(frontier: DataFrame, active_rules: DataFrame, conf: CrawlConf) -
 
 
 # ------------------------------------------------- O24/O26/O27/O31: dequeue
-def dequeue(allowed: DataFrame, conf: CrawlConf) -> DataFrame:
+def dequeue(allowed: DataFrame, conf: CrawlConf,
+            n_hosts: int | None = None) -> DataFrame:
     """Per-host top-k → global budget K → politeness slots.
 
     Skew handling (O24, "hot-host skew via salted repartitioning",
@@ -124,8 +125,16 @@ def dequeue(allowed: DataFrame, conf: CrawlConf) -> DataFrame:
         .filter(F.col("_rn") <= conf.per_host_k)
         .drop("_rn")
     )
-    # O31 global budget: TakeOrderedAndProject, no full sort at scale
-    budget = topk.orderBy(*ord_cols).limit(conf.round_budget)
+    # O31 global budget. When the per-host cap already bounds the round
+    # below K (n_hosts × k ≤ K), the limit is statically a no-op — skip
+    # it: for K in the millions Spark plans orderBy+limit as a
+    # single-partition GlobalLimit, a pure serial stage. The binding
+    # case keeps the sort+limit (exercised by the budget-binding parity
+    # test).
+    if n_hosts is not None and n_hosts * conf.per_host_k <= conf.round_budget:
+        budget = topk
+    else:
+        budget = topk.orderBy(*ord_cols).limit(conf.round_budget)
     # O27 politeness slots: virtual time within the round, per host
     w3 = Window.partitionBy("host").orderBy(*ord_cols)
     return budget.withColumn(

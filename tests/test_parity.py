@@ -72,3 +72,19 @@ def test_lineage_offsets_match_frontier(tiny_run):
         if v["frontier_offset"] != 0
     }
     assert manifest == actual
+
+
+def test_budget_binding_parity(spark, tiny_fixtures, tmp_path_factory):
+    """O31 with the global budget actually binding (round_budget below
+    hosts x per_host_k, so the orderBy+limit path runs): fetch ordering
+    must still match the oracle exactly."""
+    import dataclasses
+
+    from ccrawler_spark.conf import TINY
+
+    conf = dataclasses.replace(TINY, round_budget=7)
+    out = tmp_path_factory.mktemp("budget_store")
+    _, store, _ = tt.engine_run(spark, "tiny", str(out), rounds=3, conf=conf)
+    oracle = tt.oracle_run("tiny", rounds=3, conf=conf)
+    assert tt.engine_fetch_sequence(store) == tt.oracle_fetch_sequence(oracle)
+    assert tt.engine_seen(store, store.latest()) == oracle.seen
