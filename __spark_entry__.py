@@ -5,7 +5,7 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. Every query has a DuckDB oracle (23/23 value-checked): the
+cleanly. Every query has a DuckDB oracle (24/24 value-checked): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
 banding) are deterministic — their hyperplanes, rings and bands are
 literal-expressible — so the twin reproduces them exactly; semantic
@@ -251,6 +251,16 @@ def q_ann_cosine_topk_lsh(spark, sf_dir):
     return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10)
 
 
+def q_ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN (hash-derived coarse centroids, n_probe cells)."""
+    from ccrawler_spark.textops.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), QUERY_VEC, k=10,
+        n_cells=64, n_probe=8,
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """SRP-bucketed cosine near-dup pairs — rows-only check."""
     from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
@@ -298,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_pairs": q_simhash_near_pairs,
     }
@@ -415,6 +426,24 @@ def oracle_sql() -> dict[str, str]:
     )
     srp_table_cases = " ".join(
         f"WHEN {t} THEN {_srp_bucket_sql(EMB_DIM, 10, t)}" for t in range(4)
+    )
+
+    # IVF literals — same deterministic centroids and probe ring as
+    # similarity.ann_topk_ivf (n_cells=64, n_probe=8)
+    from ccrawler_spark.textops.similarity import ivf_centroids
+
+    _cents = ivf_centroids(EMB_DIM, 64)
+    ivf_dots = ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(x) for x in c) + "])"
+        for c in _cents
+    )
+    _qd = [
+        (sum(q * x for q, x in zip(QUERY_VEC, c)), i)
+        for i, c in enumerate(_cents)
+    ]
+    ivf_probe = ", ".join(
+        str(i) for _, i in sorted(_qd, key=lambda t: (-t[0], t[1]))[:8]
     )
     lsh_banded_cte = f"""
               SELECT doc_id, band, bucket
@@ -598,6 +627,24 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))), 4) AS cosine
             FROM embeddings, q
             WHERE {_srp_bucket_sql(EMB_DIM, 8, 0)} IN ({ann_ring})
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ann_cosine_topk_ivf": f"""
+            WITH q AS (SELECT [{q}] AS qv),
+            a AS (
+              SELECT vec_id, label, embedding,
+                     list_position(dl, list_max(dl)) - 1 AS cell
+              FROM (SELECT vec_id, label, embedding,
+                           [{ivf_dots}] AS dl
+                    FROM embeddings)
+            )
+            SELECT vec_id, label,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM a, q
+            WHERE cell IN ({ivf_probe})
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "embedding_near_dup": f"""

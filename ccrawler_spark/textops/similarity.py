@@ -146,6 +146,73 @@ def srp_buckets(embeddings: DataFrame, dim: int, n_planes: int = 8,
     )
 
 
+def ivf_centroids(dim: int, n_cells: int = 64) -> list[list[float]]:
+    """Deterministic unit-norm coarse centroids from the portable hash
+    (no RNG state, reproducible across engines). Hash-derived centroids
+    are the training-free IVF baseline: at warehouse scale they would
+    be replaced by k-means centroids persisted as a dim table, with the
+    assignment/probe plan below unchanged."""
+    cells = []
+    for c in range(n_cells):
+        v = [
+            ((phash60_py(f"ivf|{c}|{d}") % 2001) - 1000) / 1000.0
+            for d in range(dim)
+        ]
+        n = sum(x * x for x in v) ** 0.5
+        cells.append([x / n for x in v])
+    return cells
+
+
+def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cell): nearest coarse centroid by dot product (centroids are
+    unit-norm, so argmax dot = argmax cosine); ties → smallest cell id.
+
+    Same whole-stage-codegen shape as ``srp_buckets``: one posexplode
+    of the vector, n_cells aggregated dot products against the
+    constant-folded centroid matrix (summation in row order ⇒
+    bit-identical to a sequential dot product, which the DuckDB oracle
+    twin reproduces), then a scalar argmax."""
+    cents = ivf_centroids(dim, n_cells)
+    exploded = embeddings.select(
+        id_col, F.posexplode(vec_col).alias("_d", "_x")
+    )
+    dots = [
+        F.sum(
+            F.col("_x")
+            * F.element_at(F.array(*[F.lit(v) for v in cents[c]]), F.col("_d") + 1)
+        ).alias(f"_dot_{c}")
+        for c in range(n_cells)
+    ]
+    agg = exploded.groupBy(id_col).agg(*dots)
+    arr = F.array(*[F.col(f"_dot_{c}") for c in range(n_cells)])
+    return agg.select(
+        id_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cell"),
+    )
+
+
+def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                 n_cells: int = 64, n_probe: int = 8,
+                 id_col: str = "vec_id") -> DataFrame:
+    """IVF-flat approximate top-k: score only vectors whose coarse cell
+    is among the query's n_probe nearest centroids. At 100 TB the cell
+    column is precomputed and the table partitioned by it, so a query
+    scans n_probe/n_cells of the corpus; here assignment runs inline."""
+    dim = len(query_vec)
+    cents = ivf_centroids(dim, n_cells)
+    qd = [
+        (sum(q * x for q, x in zip(query_vec, c)), i)
+        for i, c in enumerate(cents)
+    ]
+    probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    assigned = ivf_assign(embeddings, dim, n_cells, id_col)
+    cands = embeddings.join(
+        assigned.filter(F.col("cell").isin(probe)).select(id_col), on=id_col
+    )
+    return ann_topk_bruteforce(cands, query_vec, k, id_col)
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
                              threshold: float = 0.95,
                              n_planes: int = 8, n_tables: int = 4) -> DataFrame:

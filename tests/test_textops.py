@@ -171,3 +171,21 @@ def test_audio_video_stubs_raise(spark):
     df = spark.createDataFrame([("c1", b"xx")], "clip_id string, bytes binary")
     with pytest.raises(Exception):  # NotImplementedError via PythonException
         audio_features(df).collect()
+
+
+def test_ann_ivf_finds_planted_neighbors(spark):
+    """IVF-flat probe (hash-derived coarse centroids) recovers the
+    planted cluster that brute force finds."""
+    from ccrawler_spark.textops.similarity import (
+        ann_topk_bruteforce, ann_topk_ivf,
+    )
+
+    emb = _planted_embeddings(spark)
+    query = emb.filter("vec_id = 0").first()["embedding"]
+    exact = [r["vec_id"] for r in ann_topk_bruteforce(emb, query, 3).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ann_topk_ivf(emb, query, 3, n_cells=16, n_probe=4).collect()
+    ]
+    assert set(exact) == {0, 1, 2}
+    assert set(approx) == set(exact)
