@@ -58,7 +58,10 @@ def canonicalize(url: str) -> str | None:
     url = url.strip()
     frag = url.find("#")
     if frag >= 0:
-        url = url[:frag]
+        # re-strip: "…/x #frag" must canonicalize to the same key as
+        # its own output "…/x" (idempotence — property-tested; the
+        # seen-set's exactness rests on canonicalize being a projection)
+        url = url[:frag].rstrip()
     m = _SCHEME_RE.match(url)
     if not m:
         return None

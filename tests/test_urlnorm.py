@@ -47,3 +47,47 @@ def test_denormalize_roundtrip():
 
 def test_host_of():
     assert host_of("http://h3.example/p/1") == "h3.example"
+
+
+# ------------------------- property-based (hypothesis) -------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+url_chars = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "-._~/%?#=&:@ "
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["http", "https", "HTTP"]), url_chars)
+def test_canonicalize_idempotent(scheme, tail):
+    """canonicalize is a projection: c(c(x)) == c(x) for every input it
+    accepts — the property the seen-set's exactness rests on (a URL
+    re-extracted from a canonical URL must not re-canonicalize to a
+    different key)."""
+    u = f"{scheme}://h3.example/{tail}"
+    c = canonicalize(u)
+    if c is not None:
+        assert canonicalize(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(url_chars)
+def test_canonicalize_total_no_crash(junk):
+    """Never raises: returns a canonical URL or None on arbitrary
+    near-URL garbage (crawlers meet hostile inputs)."""
+    canonicalize(junk)
+    canonicalize("http://" + junk)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 9), st.integers(0, 1999), st.integers(0, 3))
+def test_denormalize_roundtrip(host_i, page_j, variant_seed):
+    """Every fixture denormalization variant canonicalizes back to the
+    canonical URL (the property the seed-ingest parity rests on)."""
+    u = f"http://h{host_i}.example/p/{page_j}"
+    assert canonicalize(denormalize(u)) == u
