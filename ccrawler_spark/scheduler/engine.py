@@ -355,6 +355,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- helpers
     def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
+        # intentional collect: tiny side — B ≤ 64 aggregated rows, the
+        # only .collect() in the engine (lineage bookkeeping, not data)
         rows = df.groupBy("host_bucket").count().collect()
         return {int(r["host_bucket"]): int(r["count"]) for r in rows}
 

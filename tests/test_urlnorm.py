@@ -50,7 +50,7 @@ def test_host_of():
 
 
 # ------------------------- property-based (hypothesis) -------------------
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 url_chars = st.text(
@@ -64,6 +64,10 @@ url_chars = st.text(
 
 @settings(max_examples=300, deadline=None)
 @given(st.sampled_from(["http", "https", "HTTP"]), url_chars)
+# pinned regression: a trailing space before the fragment exposed the
+# round-2 trailing-space canonicalization bug (hypothesis found it; the
+# example is pinned here instead of committing .hypothesis state)
+@example("http", " #")
 def test_canonicalize_idempotent(scheme, tail):
     """canonicalize is a projection: c(c(x)) == c(x) for every input it
     accepts — the property the seen-set's exactness rests on (a URL
