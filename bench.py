@@ -23,15 +23,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline subset: every operator family, skipping only the quadratic
-# demo variants that duplicate already-timed ops
+# every driver-gate query is timed — untimed = unwatched for regression
 HEADLINE = [
     "topk_per_group", "priority_dequeue", "anti_join_dedup", "window_lag",
     "rollup_metrics", "hot_key_detection", "asof_latest", "set_union",
     "broadcast_dim_join", "bucket_histogram", "dedup_exact",
-    "minhash_signatures", "lsh_candidate_pairs", "simhash", "token_stats",
+    "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
+    "simhash", "simhash_near_pairs", "token_stats",
     "quality_score", "lang_id", "fingerprint", "ann_cosine_topk",
-    "ann_cosine_topk_lsh", "embedding_near_dup",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "embedding_near_dup",
 ]
 
 

@@ -62,6 +62,7 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         phashes = batch.column("phash").to_numpy(zero_copy_only=False)
         n = batch.num_rows
         fetch_ok = np.zeros(n, dtype=bool)
+        shape_ok = np.zeros(n, dtype=bool)
         pixels_ok = np.zeros(n, dtype=bool)
         phash_ok = np.zeros(n, dtype=bool)
         psnr_db = np.zeros(n, dtype=np.float64)
@@ -83,6 +84,7 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             expected = ref.pixels_of(url)
             if expected.shape != dec.shape:
                 continue
+            shape_ok[i] = True
             if fmts[i] == "dct8":
                 p = codecs.psnr(expected, dec)
                 psnr_db[i] = p if p != float("inf") else 999.0
@@ -103,8 +105,11 @@ def _decode_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
                 "url": url_arr,
                 "fetch_ok": pa.array(fetch_ok),
                 "pixels_ok": pa.array(pixels_ok),
+                # gated on shape validity too (not just fetch_ok): a row
+                # that decoded to the wrong shape must not report its
+                # JVM-side caption bit as a passing invariant
                 "caption_ok": pa.array(
-                    np.asarray(caption_ok, dtype=bool) & fetch_ok
+                    np.asarray(caption_ok, dtype=bool) & fetch_ok & shape_ok
                 ),
                 "phash_ok": pa.array(phash_ok),
                 "psnr_db": pa.array(psnr_db),

@@ -16,8 +16,12 @@ from .hashing import phash60_py
 
 
 def _dot(a, b):
+    # each element is cast to double BEFORE the multiply: float32 inputs
+    # must not multiply in float32, or the result structurally diverges
+    # from the DuckDB oracle's CAST(embedding AS DOUBLE[]) semantics
+    # (a cosine landing on a round(,4) or threshold boundary could flip)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -245,7 +249,9 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     norms = (
         embeddings.select("vec_id", F.posexplode("embedding").alias("_d", "_x"))
         .groupBy("vec_id")
-        .agg(F.sum((F.col("_x") * F.col("_x")).cast("double")).alias("_n2"))
+        # cast-then-multiply, matching _dot / the DOUBLE[] oracle
+        .agg(F.sum(F.col("_x").cast("double") * F.col("_x").cast("double"))
+             .alias("_n2"))
         .select("vec_id", F.sqrt("_n2").alias("_norm"))
     )
     vecn = embeddings.select("vec_id", "embedding").join(norms, on="vec_id")

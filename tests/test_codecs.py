@@ -54,21 +54,29 @@ def test_corpus_row_schema():
 
 def test_dct8_f32_decode_bit_identical_to_f64():
     """The float32 batched hot path must reproduce the float64
-    reference decode exactly across a corpus sample."""
+    reference decode exactly — EXHAUSTIVELY over every reachable
+    fixture image. Only (km, w, h) determine a fixture image
+    (corpus._pixels_pattern): km ∈ 0..255, w/h ∈ {16,32,48,64} →
+    4096 distinct images. The bit-identity is a property of this
+    image family + QTAB, not of the algorithm (a half-away-from-zero
+    boundary can flip under float32 on arbitrary inputs), so any
+    future QTAB/quality change must re-prove it here."""
     import numpy as np
 
     from ccrawler_spark.codecs import dct8
-    from ccrawler_spark.fixtures import corpus as ref
+    from ccrawler_spark.fixtures.corpus import _pixels_pattern
 
+    dims = (16, 32, 48, 64)
     checked = 0
-    for i in range(400):
-        u = f"http://h{i % 97}.example/p/{i}"
-        if ref.fmt_of(u) != "dct8":
-            continue
-        pay = dct8.encode(ref.pixels_of(u))
-        assert np.array_equal(dct8.decode(pay), dct8.decode_f64(pay)), u
-        checked += 1
-    assert checked > 50
+    for km in range(256):
+        for w in dims:
+            for h in dims:
+                pay = dct8.encode(np.asarray(_pixels_pattern(km, w, h)))
+                assert np.array_equal(
+                    dct8.decode(pay), dct8.decode_f64(pay)
+                ), (km, w, h)
+                checked += 1
+    assert checked == 4096
 
 
 def test_psnr_phash_integer_paths_bit_identical():
