@@ -390,7 +390,9 @@ def oracle_sql() -> dict[str, str]:
     )
     # LSH bands (in lockstep with textops.dedup constants):
     # bucket_b = phash60(sig[b*r] || ',' || ... || sig[b*r + r-1])
-    from ccrawler_spark.textops.dedup import LSH_BUCKET_CAP, N_BANDS, N_MINHASH
+    from ccrawler_spark.textops.dedup import (
+        BAND_CAP, LSH_BUCKET_CAP, N_BANDS, N_MINHASH,
+    )
 
     lsh_r = N_MINHASH // N_BANDS
     band_values = ", ".join(f"({b})" for b in range(N_BANDS))
@@ -680,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, simhash, band,
                      (simhash >> (15 * band)) & 32767 AS key
               FROM s, (VALUES (0), (1), (2), (3)) AS bb(band)
+              QUALIFY count(*) OVER (PARTITION BY band,
+                      (simhash >> (15 * band)) & 32767) <= {BAND_CAP}
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)

@@ -265,14 +265,32 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return hashed.select("doc_id", fp.alias("simhash"))
 
 
+BAND_CAP = 1024  # drop (band, key) groups larger than this before the
+# banded self-joins below — the same hygiene as LSH_BUCKET_CAP: a group
+# of size m contributes O(m²) join rows, and at 10⁹ docs a 15-16-bit
+# band key collides ~3×10⁴ deep on hash noise alone, sending the
+# equi-join quadratic with no true near-dups involved. Recall trade: a
+# true near pair whose every shared band lands in an over-full group is
+# lost; with 4 bands the loss needs all of them over cap at once, so
+# recall degrades only where the data itself is pathological
+# (boilerplate / constant fingerprints). The cap is higher than
+# LSH_BUCKET_CAP because these bands carry *exact duplicates* too
+# (Hamming 0 shares all 4 bands): a duplicate cluster larger than the
+# cap would silently drop its own pairs, so the cap targets the hash-
+# noise regime (≫ expected duplicate-cluster size, ≪ 10⁴ collision
+# depth at 10⁹ rows). The DuckDB oracle twin applies the identical cap.
+
+
 def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
-                     phash_col: str = "phash", max_hamming: int = 6) -> DataFrame:
+                     phash_col: str = "phash", max_hamming: int = 6,
+                     band_cap: int = BAND_CAP) -> DataFrame:
     """O18 (SURVEY.md §2): perceptual-hash Hamming clustering over the
     corpus — banded LSH on the 64-bit phash (4 bands × 16 bits) so the
     self-join never goes O(n²); exact distance check afterwards with
     ``bit_count(a ^ b)``. By pigeonhole, any pair within Hamming ≤ 3 is
     guaranteed to share a band; larger distances are found with high
-    probability."""
+    probability. (band, key) groups above ``band_cap`` are dropped
+    before the join (see BAND_CAP for the recall trade)."""
     bands = [
         F.shiftrightunsigned(F.col(phash_col), 16 * b)
         .bitwiseAND(F.lit((1 << 16) - 1))
@@ -282,6 +300,12 @@ def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
     banded = df.select(
         F.col(id_col), F.col(phash_col),
         F.posexplode(F.array(*bands)).alias("band", "key"),
+    )
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= band_cap)
+        .drop("_bn")
     )
     a = banded.select(F.col(id_col).alias("id_a"),
                       F.col(phash_col).alias("h_a"), "band", "key")
@@ -299,11 +323,14 @@ def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
+                       band_cap: int = BAND_CAP) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded to avoid the
     O(n²) self-join: 4 bands of 15 bits each — any pair within Hamming
     ≤ 8 of a 60-bit fingerprint shares at least one exact band with
-    good probability (exact guarantee at ≤ 3 by pigeonhole)."""
+    good probability (exact guarantee at ≤ 3 by pigeonhole). (band,
+    key) groups above ``band_cap`` are dropped before the join (see
+    BAND_CAP for the recall trade; the DuckDB twin caps in lockstep)."""
     # exchange barrier: 4 band accesses would otherwise each re-inline
     # the whole simhash vote pipeline (no CSE in interpreted HOFs)
     sh = simhash64(docs).repartition("doc_id")
@@ -314,6 +341,12 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         for b in range(4)
     ]
     banded = sh.select("doc_id", "simhash", F.posexplode(F.array(*bands)).alias("band", "key"))
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= band_cap)
+        .drop("_bn")
+    )
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "key")
     return (
