@@ -101,53 +101,75 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def srp_buckets(embeddings: DataFrame, dim: int, n_planes: int = 8,
                 n_tables: int = 4, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                with_norm: bool = False) -> DataFrame:
     """(id, table, bucket) triples: each vector's SRP bucket in L
     independent tables. Ids only — vectors never leave the scan.
 
-    All n_tables × n_planes dot products run in whole-stage codegen:
-    posexplode the vector once, multiply each component against the
-    literal plane matrix (constant-folded arrays), and hash-aggregate
-    the partial sums per vector. HOF lambdas (zip_with/aggregate) are
-    CodegenFallback and cost ~10 µs per element eval interpreted —
-    measured 6× slower than this explode+agg shape even though the
-    latter adds a (256 B/vector after map-side combine) shuffle.
-    Summation stays in row order (explode output is contiguous per
-    vector, partial agg folds in input order), so the result is
-    bit-identical to a sequential dot product — the DuckDB oracle
-    twin relies on that."""
+    Plan shape (the 100 TB one): posexplode the vector once, broadcast-
+    join the (dim × n_tables × n_planes)-row plane *dim table* on the
+    component index, and hash-aggregate per (id, table) with one
+    conditional sum per plane. Everything is whole-stage codegen with
+    SMALL expression trees — the previous form inlined the plane matrix
+    as n_tables × n_planes literal 64-element arrays into one
+    projection, and Catalyst's optimize+codegen time on that ~2.5k-
+    literal tree dominated the query at any data size (measured 2×
+    wall at sf0.1; 4× warm). HOF lambdas (zip_with/aggregate) are
+    worse still: CodegenFallback, ~10 µs/element interpreted.
+
+    Bit-identity (the DuckDB oracle twin relies on it): a vector's
+    exploded rows stay contiguous in one task; the broadcast join
+    streams them in order, emitting plane matches per row; the partial
+    aggregate folds each (id, table, plane) sum in encounter order =
+    component order; and exactly one partial per group reaches the
+    final agg — so every dot product is the sequential left-to-right
+    float64 sum, identical to ``list_dot_product(CAST(embedding AS
+    DOUBLE[]), plane)``.
+
+    ``with_norm=True`` additionally emits ``_n2`` = Σ x² (same
+    sequential-sum bits), computed in the same aggregate — callers that
+    need per-vector norms (embedding_near_dup_pairs) get them without a
+    second scan of the embeddings. ``_n2`` is identical on each of a
+    vector's n_tables rows."""
+    spark = embeddings.sparkSession
     planes = {
         t: _hyperplanes(dim, n_planes, t) for t in range(n_tables)
     }
+    rows = [
+        (t, p, d, float(planes[t][p][d]))
+        for t in range(n_tables)
+        for p in range(n_planes)
+        for d in range(dim)
+    ]
+    ptbl = spark.createDataFrame(rows, "table int, p int, _d int, coef double")
     exploded = embeddings.select(
         id_col, F.posexplode(vec_col).alias("_d", "_x")
     )
+    xd = F.col("_x").cast("double")  # cast BEFORE multiply (DOUBLE[] twin)
     dots = [
-        F.sum(
-            F.col("_x")
-            * F.element_at(
-                F.array(*[F.lit(v) for v in planes[t][p]]), F.col("_d") + 1
-            )
-        ).alias(f"_dot_{t}_{p}")
-        for t in range(n_tables)
-        for p in range(n_planes)
+        F.sum(F.when(F.col("p") == i, xd * F.col("coef"))).alias(f"_dot_{i}")
+        for i in range(n_planes)
     ]
-    agg = exploded.groupBy(id_col).agg(*dots)
-    bucket_of = [
-        sum(
-            (
-                F.when(F.col(f"_dot_{t}_{p}") > 0, F.lit(1 << p)).otherwise(
-                    F.lit(0)
-                )
-                for p in range(n_planes)
-            ),
-            start=F.lit(0),
-        ).cast("int")
-        for t in range(n_tables)
-    ]
-    return agg.select(
-        id_col, F.posexplode(F.array(*bucket_of)).alias("table", "bucket")
+    if with_norm:
+        # p == 0 restricts to one row per (table, component): Σ x² in
+        # component order, independent of the plane coefficients
+        dots.append(F.sum(F.when(F.col("p") == 0, xd * xd)).alias("_n2"))
+    agg = (
+        exploded.join(F.broadcast(ptbl), on="_d")
+        .groupBy(id_col, "table")
+        .agg(*dots)
     )
+    bucket = sum(
+        (
+            F.when(F.col(f"_dot_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(n_planes)
+        ),
+        start=F.lit(0),
+    ).cast("int")
+    out_cols = [id_col, "table", bucket.alias("bucket")]
+    if with_norm:
+        out_cols.append("_n2")
+    return agg.select(*out_cols)
 
 
 def ivf_centroids(dim: int, n_cells: int = 64) -> list[list[float]]:
@@ -172,27 +194,34 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 64,
     """(id, cell): nearest coarse centroid by dot product (centroids are
     unit-norm, so argmax dot = argmax cosine); ties → smallest cell id.
 
-    Same whole-stage-codegen shape as ``srp_buckets``: one posexplode
-    of the vector, n_cells aggregated dot products against the
-    constant-folded centroid matrix (summation in row order ⇒
-    bit-identical to a sequential dot product, which the DuckDB oracle
-    twin reproduces), then a scalar argmax."""
+    Same dim-table shape as ``srp_buckets`` (and for the same reason —
+    the previous n_cells × dim literal matrix made Catalyst
+    optimize+codegen time dominate at any data size, measured 2× wall
+    / 6× warm at sf0.1): posexplode the vector, broadcast-join the
+    (n_cells × dim)-row centroid table on the component index, sum per
+    (id, cell) — sequential component order, one partial per group, so
+    each dot is bit-identical to DuckDB's list_dot_product (the oracle
+    twin relies on it) — then argmax via max_by on (dot, -cell):
+    lexicographic struct max ⇒ highest dot, ties to the smallest cell,
+    exactly list_position(dl, list_max(dl))."""
+    spark = embeddings.sparkSession
     cents = ivf_centroids(dim, n_cells)
+    rows = [
+        (c, d, float(cents[c][d])) for c in range(n_cells) for d in range(dim)
+    ]
+    ctbl = spark.createDataFrame(rows, "cell int, _d int, coef double")
     exploded = embeddings.select(
         id_col, F.posexplode(vec_col).alias("_d", "_x")
     )
-    dots = [
-        F.sum(
-            F.col("_x")
-            * F.element_at(F.array(*[F.lit(v) for v in cents[c]]), F.col("_d") + 1)
-        ).alias(f"_dot_{c}")
-        for c in range(n_cells)
-    ]
-    agg = exploded.groupBy(id_col).agg(*dots)
-    arr = F.array(*[F.col(f"_dot_{c}") for c in range(n_cells)])
-    return agg.select(
-        id_col,
-        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("cell"),
+    dots = (
+        exploded.join(F.broadcast(ctbl), on="_d")
+        .groupBy(id_col, "cell")
+        .agg(F.sum(F.col("_x").cast("double") * F.col("coef")).alias("_dot"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.max_by("cell", F.struct(F.col("_dot"), (-F.col("cell")).alias("_nc")))
+        .cast("int")
+        .alias("cell")
     )
 
 
@@ -233,7 +262,12 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     2^n_planes, so pick n_planes ≈ log2(N / target_bucket_size); the
     default 8 suits ~10^5-10^6 vectors, not 10^9 (where ~20 planes and
     a persisted+partitioned bucket column are the plan)."""
-    b = srp_buckets(embeddings, dim, n_planes, n_tables)
+    # with_norm: the SRP aggregate emits Σx² alongside the buckets, so
+    # norms cost no extra scan/shuffle — and stay once per VECTOR (same
+    # sequential-sum bits as the per-pair _norm they replace), not once
+    # per pair: at 10^9 vectors that is the difference between O(N)
+    # and O(|pairs|) norm computations
+    b = srp_buckets(embeddings, dim, n_planes, n_tables, with_norm=True)
     left = b.select(F.col("vec_id").alias("id_a"), "table", "bucket")
     right = b.select(F.col("vec_id").alias("id_b"), "table", "bucket")
     pairs = (
@@ -242,16 +276,8 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
         .select("id_a", "id_b")
         .distinct()
     )
-    # norms once per VECTOR (codegen explode+agg, same float-product /
-    # sequential-sum bits as the per-pair _norm it replaces), not once
-    # per pair — at 10^9 vectors that is the difference between O(N)
-    # and O(|pairs|) norm computations
     norms = (
-        embeddings.select("vec_id", F.posexplode("embedding").alias("_d", "_x"))
-        .groupBy("vec_id")
-        # cast-then-multiply, matching _dot / the DOUBLE[] oracle
-        .agg(F.sum(F.col("_x").cast("double") * F.col("_x").cast("double"))
-             .alias("_n2"))
+        b.filter(F.col("table") == 0)
         .select("vec_id", F.sqrt("_n2").alias("_norm"))
     )
     vecn = embeddings.select("vec_id", "embedding").join(norms, on="vec_id")
