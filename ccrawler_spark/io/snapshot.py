@@ -162,6 +162,9 @@ class SnapshotStore:
 
         Stored partitioned by ``seen_part`` so a probe restricted to a
         few partitions prunes files via Catalyst partition discovery.
+        The chain length is bounded by ``compact_threshold``
+        (``compact_seen``) — without that, round 1,000 would union a
+        1,000-file chain on the anti-join's build side every round.
         """
         m = self.read_manifest(n)
         dfs = [
@@ -170,27 +173,67 @@ class SnapshotStore:
         ]
         return reduce(DataFrame.unionByName, dfs)
 
+    def compact_seen(self, deltas: list[str], r: int) -> str:
+        """Fold the seen delta chain into one partitioned base.
+
+        The seen set is append-only and pre-deduplicated (candidates
+        pass the exact anti-join before entering), so compaction is a
+        plain union rewrite — no merge logic. Same amortized-O(1)
+        policy as the frontier: each key is rewritten at most once per
+        ``compact_threshold`` rounds, and per-round read cost stops
+        growing with crawl age."""
+        df = reduce(
+            DataFrame.unionByName,
+            [self.spark.read.parquet(self.data_path(p)) for p in deltas],
+        )
+        return self.write_parquet(
+            df.repartition("seen_part"), "seen", f"base-r{r}",
+            partition_by=["seen_part"],
+        )
+
+    def compact_bloom(self, deltas: list[str], r: int) -> str:
+        """Keep only the latest segment row per host_bucket.
+
+        Superseded segment versions are dead weight — every consumer
+        goes through the latest-per-bucket window (`read_bloom_latest`),
+        so folding the chain to B rows bounds both the window input and
+        the file count at ``compact_threshold``. File count is sized
+        from conf (B × segment bytes / 128 MB target): 1 file at
+        sandbox scale, ~96 at the design-scale 4096 × 3 MB."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(*[self.data_path(p) for p in deltas])
+        seg_bytes = self.conf.bloom_segment_bits // 8
+        n_files = max(1, (self.conf.host_buckets * seg_bytes) // (128 << 20))
+        return self.write_parquet(
+            self._latest_per_bucket(df).repartition(n_files, F.col("host_bucket")),
+            "bloom", f"base-r{r}",
+        )
+
     def read_bloom(self, n: int) -> DataFrame:
         """All bloom segment rows (delta chain, multiple versions)."""
         m = self.read_manifest(n)
         paths = [self.data_path(p) for p in m["bloom"]["deltas"]]
         return self.spark.read.parquet(*paths)
 
-    def read_bloom_latest(self, n: int) -> DataFrame:
-        """Latest segment row per host_bucket — the task-side bloom
-        input: consumers cogroup it by host_bucket so each task holds
-        only its buckets' segments (never an O(B × segment) driver
-        collect; SURVEY.md §4.3)."""
+    @staticmethod
+    def _latest_per_bucket(bloom: DataFrame) -> DataFrame:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         w = Window.partitionBy("host_bucket").orderBy(F.col("version").desc())
         return (
-            self.read_bloom(n)
-            .withColumn("_rn", F.row_number().over(w))
+            bloom.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+
+    def read_bloom_latest(self, n: int) -> DataFrame:
+        """Latest segment row per host_bucket — the task-side bloom
+        input: consumers cogroup it by host_bucket so each task holds
+        only its buckets' segments (never an O(B × segment) driver
+        collect; SURVEY.md §4.3)."""
+        return self._latest_per_bucket(self.read_bloom(n))
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         df = self.spark.read.parquet(self.data_path("fetch_log"))

@@ -314,31 +314,50 @@ class CrawlEngine:
         )
         metrics_path = self._write_metrics(lineage, r)
 
-        # frontier delta-chain composition (+ compaction)
+        # delta-chain composition (+ compaction). All three chains are
+        # bounded by compact_threshold — without it per-round fixed cost
+        # grows linearly with crawl age (a round-1000 seen anti-join
+        # would union a 1000-file chain on its build side). The three
+        # compactions are independent of each other and overlap on
+        # driver threads like the delta writes above.
         fr_prev = prev["frontier"]
         adds = fr_prev["adds"] + ([adds_path] if adds_path else [])
         removes_list = fr_prev["removes"] + ([removes_path] if removes_path else [])
         base = fr_prev["base"]
-        if len(adds) >= self.store.compact_threshold:
-            composed = store.read_frontier_from(base, adds, removes_list)
-            # same multi-file-per-bucket layout as bootstrap: a compacted
-            # hot bucket must not become a single-file scan straggler
-            composed = composed.repartition(
-                256, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
-            )
-            base = store.write_parquet(
-                composed, "frontier", f"base-r{r}", partition_by=["host_bucket"]
-            )
+        seen_deltas = prev["seen"]["deltas"] + ([seen_path] if seen_path else [])
+        bloom_deltas = prev["bloom"]["deltas"] + ([bloom_path] if bloom_path else [])
+        cjobs = {}
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            if len(adds) >= self.store.compact_threshold:
+                composed = store.read_frontier_from(base, adds, removes_list)
+                # same multi-file-per-bucket layout as bootstrap: a
+                # compacted hot bucket must not become a single-file
+                # scan straggler
+                composed = composed.repartition(
+                    256, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
+                )
+                cjobs["frontier"] = ex.submit(
+                    store.write_parquet, composed, "frontier", f"base-r{r}",
+                    partition_by=["host_bucket"],
+                )
+            if len(seen_deltas) >= self.store.compact_threshold:
+                cjobs["seen"] = ex.submit(store.compact_seen, seen_deltas, r)
+            if len(bloom_deltas) >= self.store.compact_threshold:
+                cjobs["bloom"] = ex.submit(store.compact_bloom, bloom_deltas, r)
+        if "frontier" in cjobs:
+            base = cjobs["frontier"].result()
             adds, removes_list = [], []
+        if "seen" in cjobs:
+            seen_deltas = [cjobs["seen"].result()]
+        if "bloom" in cjobs:
+            bloom_deltas = [cjobs["bloom"].result()]
 
         self.store.commit(r, {
             "round": r,
             "frontier": {"base": base, "adds": adds, "removes": removes_list,
                           "small_removes": True, "last_adds": adds_path},
-            "seen": {"deltas": prev["seen"]["deltas"]
-                     + ([seen_path] if seen_path else [])},
-            "bloom": {"deltas": prev["bloom"]["deltas"]
-                      + ([bloom_path] if bloom_path else [])},
+            "seen": {"deltas": seen_deltas},
+            "bloom": {"deltas": bloom_deltas},
             "metrics": {"paths": prev["metrics"]["paths"] + [metrics_path]},
             "counters": {
                 "fetched_total": seq_offset + n_fetched,
