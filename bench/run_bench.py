@@ -29,7 +29,12 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-TIMED_ROUNDS = 3  # warm-up is a corpus-touch + worker spawn, not a round
+# 4 timed rounds = exactly one full head-cache cycle (head_multiple=4:
+# three head-served rounds + the refill round that pays the full
+# frontier composition) — the steady-state amortization, nothing hidden
+# outside the timed window. Warm-up is a corpus-touch + worker spawn,
+# not a round.
+TIMED_ROUNDS = 4
 
 
 def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:

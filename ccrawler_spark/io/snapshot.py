@@ -268,6 +268,8 @@ class SnapshotStore:
             referenced.add(fr["base"])
             if fr.get("last_adds"):
                 referenced.add(fr["last_adds"])
+            if fr.get("head"):
+                referenced.add(fr["head"]["path"])
             referenced.update(fr["adds"])
             referenced.update(fr["removes"])
             referenced.update(m["seen"]["deltas"])

@@ -34,6 +34,10 @@ FRONTIER_COLS = [
     "discover_ts", "depth", "image_id", "status", "retry_count",
 ]
 
+# head cache rows persist the robots gate's crawl_delay_ms so head
+# rounds skip the gate join entirely (the gate is static per conf)
+HEAD_COLS = FRONTIER_COLS + ["crawl_delay_ms"]
+
 BLOOM_SCHEMA = StructType([
     StructField("host_bucket", IntegerType()),
     StructField("version", LongType()),
@@ -68,19 +72,38 @@ class CrawlEngine:
         self.robots_active = stages.robots_active(robots, conf.robots_version).cache()
         self.conf = conf
 
+    def _use_head(self) -> bool:
+        """Head cache (SEMANTICS.md §6b) serves dequeues in non-recrawl
+        mode; recrawl's due predicate changes per-round eligibility, so
+        static rank containment does not hold there."""
+        return self.conf.head_multiple > 0 and self.conf.recrawl_interval_micros == 0
+
+    def _head_m(self) -> int:
+        return self.conf.head_multiple * self.conf.per_host_k
+
     # ------------------------------------------------------------ bootstrap
     def bootstrap(self, seeds: DataFrame) -> RoundStats:
         """Seeds → snapshot 0 (SEMANTICS.md §6 bootstrap)."""
         conf = self.conf
         # seed sources are often single-file/single-partition; spread
         # them before the (CPU-bound) normalization UDF
+        from concurrent.futures import ThreadPoolExecutor
+        from pyspark.sql import Window
+
         seeds = seeds.select("url").repartition(
             self.spark.sparkContext.defaultParallelism * 4
         )
         seeds = stages.normalize_urls(seeds)
         # canonical duplicates collapse to identical frontier rows
-        # (priority 0, discover_ts t0, depth 0) — keep-rule irrelevant
-        seeds = seeds.dropDuplicates(["url"])
+        # (priority 0, discover_ts t0, depth 0) — keep-rule irrelevant.
+        # The keep-one rides the layout repartition: the partition keys
+        # are functions of the url (host_bucket via host, umod of
+        # url_hash = xxhash64(url)), so duplicates are co-located and
+        # the window needs only a sort, not a second 10M-row exchange
+        # (HashPartitioning on a subset of the window keys satisfies
+        # its clustering; plan-asserted in test_plans).
+        layout_keys = [F.col("host_bucket"), umod_long(F.col("url_hash"), 8)]
+        w_dedup = Window.partitionBy(*layout_keys, "url").orderBy("url")
         frontier0 = (
             stages.with_url_derivations(seeds, conf)
             .withColumn("priority", F.lit(0))
@@ -89,23 +112,53 @@ class CrawlEngine:
             .withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
-            .repartition(256, F.col("host_bucket"),
-                         umod_long(F.col("url_hash"), 8))
+            .repartition(256, *layout_keys)
+            .withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .cache()
-        )
-        base = self.store.write_parquet(
-            frontier0, "frontier", "base-r0", partition_by=["host_bucket"]
         )
         seen0 = frontier0.select(
             "url_hash", "url",
             umod_long(F.col("url_hash"), conf.seen_partitions)
             .cast("int").alias("seen_part"),
-        )
-        seen_path = self.store.write_parquet(
-            seen0, "seen", "delta-r0", partition_by=["seen_part"]
-        )
-        bloom_path = self._write_bloom_delta(
-            frontier0, self.spark.createDataFrame([], BLOOM_SCHEMA), 0
+            # repartition by the write-partition key (same rationale as
+            # run_round's seen delta): without it the 256 layout tasks
+            # each write a file into every seen_part dir — 16k small
+            # files that every later round's anti-join has to list
+        ).repartition("seen_part")
+        # the four snapshot-0 outputs are independent given the cached
+        # frontier0 — overlap them like run_round's write phase
+        jobs = {}
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            jobs["base"] = ex.submit(
+                self.store.write_parquet, frontier0, "frontier", "base-r0",
+                partition_by=["host_bucket"],
+            )
+            jobs["seen"] = ex.submit(
+                self.store.write_parquet, seen0, "seen", "delta-r0",
+                partition_by=["seen_part"],
+            )
+            jobs["bloom"] = ex.submit(
+                self._write_bloom_delta, frontier0,
+                self.spark.createDataFrame([], BLOOM_SCHEMA), 0,
+            )
+            if self._use_head():
+                allowed0 = stages.robots_gate(
+                    frontier0, self.robots_active, conf
+                ).filter(F.col("allowed"))
+                head0 = stages.rank_per_host(
+                    allowed0, conf, self._head_m(), salted=True
+                ).drop("_rn").select(*HEAD_COLS)
+                jobs["head"] = ex.submit(
+                    self.store.write_parquet, head0, "frontier", "head-r0"
+                )
+        base = jobs["base"].result()
+        seen_path = jobs["seen"].result()
+        bloom_path = jobs["bloom"].result()
+        head_entry = (
+            {"path": jobs["head"].result(), "since_refill": 0}
+            if "head" in jobs else None
         )
         seed_buckets = self._bucket_counts(frontier0)
         lineage = self._lineage_from_counts(
@@ -116,7 +169,8 @@ class CrawlEngine:
         self.store.commit(0, {
             "round": 0,
             "frontier": {"base": base, "adds": [], "removes": [],
-                          "small_removes": True, "last_adds": base},
+                          "small_removes": True, "last_adds": base,
+                          "head": head_entry},
             "seen": {"deltas": [seen_path]},
             "bloom": {"deltas": [bloom_path]},
             "metrics": {"paths": [metrics_path]},
@@ -135,25 +189,60 @@ class CrawlEngine:
         prev = store.read_manifest(r - 1)
         round_ts = conf.t0_micros + r * conf.round_period_micros
 
-        frontier = store.read_frontier(r - 1)
-        if conf.recrawl_interval_micros > 0:
-            # O30/O10 due predicate: only rows whose discover_ts (= next
-            # due time for recrawl rows) has arrived compete this round;
-            # the rest stay queued untouched (no delta written for them)
-            frontier = frontier.filter(
-                F.col("discover_ts") <= F.timestamp_micros(F.lit(round_ts))
-            )
-
-        # 1. robots gate (broadcast join, Catalyst longest-prefix) fused
+        # 1. dequeue source. Head mode (non-recrawl, SEMANTICS.md §6b):
+        # serve from the persisted per-host top-m head cache — no
+        # full-frontier scan, no gate join (crawl_delay_ms rides the
+        # head rows; the gate is static per conf) — refilling from the
+        # composed frontier every head_multiple - 1 rounds. Otherwise:
+        # robots gate (broadcast join, Catalyst longest-prefix) fused
         # into the frontier scan — no 10M-row cache materialization.
+        h_prev = prev["frontier"].get("head")
+        use_head = self._use_head() and h_prev is not None
+        ranked = None
+        survivors = None
+        head_since = 0
+        if use_head:
+            refill = h_prev["since_refill"] >= conf.head_multiple - 1
+            if refill:
+                frontier = store.read_frontier(r - 1)
+                source = stages.robots_gate(
+                    frontier, self.robots_active, conf
+                ).filter(F.col("allowed"))
+            else:
+                source = self.spark.read.parquet(
+                    self.store.data_path(h_prev["path"])
+                )
+                head_since = h_prev["since_refill"] + 1
+            # cached: the ranked frame feeds BOTH the schedule and the
+            # next head (on refill rounds recomputing it would repeat
+            # the full frontier scan + windows)
+            ranked = stages.rank_per_host(
+                source, conf, self._head_m(), salted=refill
+            ).cache()
+            sched0, survivors = stages.split_ranked(ranked, conf, self.H)
+            sched0 = sched0.cache()
+        else:
+            frontier = store.read_frontier(r - 1)
+            if conf.recrawl_interval_micros > 0:
+                # O30/O10 due predicate: only rows whose discover_ts
+                # (= next due time for recrawl rows) has arrived compete
+                # this round; the rest stay queued untouched (no delta
+                # written for them)
+                frontier = frontier.filter(
+                    F.col("discover_ts") <= F.timestamp_micros(F.lit(round_ts))
+                )
+            gated = stages.robots_gate(frontier, self.robots_active, conf)
+            allowed = gated.filter(F.col("allowed"))
+            # 2-4. dequeue: per-host top-k → budget K → politeness slots;
+            # cached BEFORE the seq step (its offsets collect is an action)
+            sched0 = stages.dequeue(allowed, conf, n_hosts=self.H).cache()
+
         # `denied` comes from a separate tiny pass: the gate is static
         # (robots_active is fixed per conf.robots_version), so any row
         # that survived a previous round's gate passes again — newly
         # deniable rows can only be in the PREVIOUS round's adds delta
         # (tracked as manifest frontier.last_adds, kept referenced even
         # after compaction folds it into a base).
-        gated = stages.robots_gate(frontier, self.robots_active, conf)
-        allowed = gated.filter(F.col("allowed"))
         if conf.recrawl_interval_micros > 0:
             # with a due predicate, denial timing depends on
             # eligibility — gate the full eligible frontier
@@ -168,18 +257,15 @@ class CrawlEngine:
                     .select(*FRONTIER_COLS)
                 )
             else:
-                denied = frontier.filter(F.lit(False)).select(*FRONTIER_COLS)
-
-        # 2-4. dequeue: per-host top-k → budget K → politeness slots;
-        # cached BEFORE the seq step (its offsets collect is an action)
-        sched0 = stages.dequeue(allowed, conf, n_hosts=self.H).cache()
+                denied = sched0.select(*FRONTIER_COLS).limit(0)
         # 5. fetch sequence (cumulative seq across rounds)
         seq_offset = prev["counters"]["fetched_total"]
         scheduled = stages.with_fetch_sequence(sched0, r, seq_offset).cache()
 
         # materialize; everything downstream (fetch, discovery, removes)
-        # reuses the cache
-        scheduled.count()
+        # reuses the cache. The materializing action doubles as the
+        # scheduled-side lineage collect (one job instead of two).
+        sched_counts = self._bucket_counts(scheduled)
 
         # 6. fetch join + decode invariants (Arrow crossing) — launched
         # on a driver thread so the decode overlaps the discovery path
@@ -218,18 +304,17 @@ class CrawlEngine:
             .cache()
         )
 
-        # stats first (scheduled/fresh cached, denied reads the gated
-        # cache): one groupBy-collect per side, counts derived — so empty
-        # deltas are skipped entirely (a file-less partitioned parquet
-        # dir is unreadable, and empty rounds are normal once the
-        # frontier drains). The three collects run concurrently: in
-        # local mode the driver's job/task dispatch loop is a serial
-        # bottleneck, so independent jobs are overlapped from threads.
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            f_sched = ex.submit(self._bucket_counts, scheduled)
+        # stats next (scheduled already collected above; fresh cached,
+        # denied reads the small last_adds delta): one groupBy-collect
+        # per side, counts derived — so empty deltas are skipped
+        # entirely (a file-less partitioned parquet dir is unreadable,
+        # and empty rounds are normal once the frontier drains). The
+        # collects run concurrently: in local mode the driver's
+        # job/task dispatch loop is a serial bottleneck, so independent
+        # jobs are overlapped from threads.
+        with ThreadPoolExecutor(max_workers=2) as ex:
             f_denied = ex.submit(self._bucket_counts, denied)
             f_fresh = ex.submit(self._bucket_counts, fresh)
-            sched_counts = f_sched.result()
             denied_counts = f_denied.result()
             fresh_counts = f_fresh.result()
         n_fetched = sum(sched_counts.values())
@@ -261,7 +346,27 @@ class CrawlEngine:
             ).select(*FRONTIER_COLS)
 
         jobs = {}
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            if use_head:
+                # next head: survivors of this round's dequeue plus the
+                # gated fresh adds, capped at m per host (cap skipped
+                # when nothing was added — survivors are already ≤ m
+                # and ranked). Written every round; refill rebuilds it
+                # from the composed frontier instead.
+                new_head = survivors.select(*HEAD_COLS)
+                if n_fresh:
+                    fresh_allowed = (
+                        stages.robots_gate(fresh, self.robots_active, conf)
+                        .filter(F.col("allowed"))
+                        .select(*HEAD_COLS)
+                    )
+                    new_head = stages.rank_per_host(
+                        new_head.unionByName(fresh_allowed), conf,
+                        self._head_m(), salted=False,
+                    ).drop("_rn").select(*HEAD_COLS)
+                jobs["head"] = ex.submit(
+                    store.write_parquet, new_head, "frontier", f"head-r{r}"
+                )
             if n_fresh or recrawl is not None:
                 additions = fresh if recrawl is None else (
                     fresh.unionByName(recrawl).repartition(
@@ -299,6 +404,10 @@ class CrawlEngine:
         seen_path = jobs["seen"].result() if "seen" in jobs else None
         bloom_path = jobs["bloom"].result() if "bloom" in jobs else None
         removes_path = jobs["removes"].result() if "removes" in jobs else None
+        head_entry = (
+            {"path": jobs["head"].result(), "since_refill": head_since}
+            if use_head else None
+        )
         log_job.result()  # fetch_log must be durable before the commit
         log_pool.shutdown()
         new_versions = dict(old_versions)
@@ -355,7 +464,8 @@ class CrawlEngine:
         self.store.commit(r, {
             "round": r,
             "frontier": {"base": base, "adds": adds, "removes": removes_list,
-                          "small_removes": True, "last_adds": adds_path},
+                          "small_removes": True, "last_adds": adds_path,
+                          "head": head_entry},
             "seen": {"deltas": seen_deltas},
             "bloom": {"deltas": bloom_deltas},
             "metrics": {"paths": prev["metrics"]["paths"] + [metrics_path]},
@@ -369,6 +479,8 @@ class CrawlEngine:
         bloom.unpersist()
         scheduled.unpersist()
         sched0.unpersist()
+        if ranked is not None:
+            ranked.unpersist()
         fresh.unpersist()
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
 

@@ -136,11 +136,63 @@ def dequeue(allowed: DataFrame, conf: CrawlConf,
     else:
         budget = topk.orderBy(*ord_cols).limit(conf.round_budget)
     # O27 politeness slots: virtual time within the round, per host
-    w3 = Window.partitionBy("host").orderBy(*ord_cols)
-    return budget.withColumn(
-        "slot_ms",
-        ((F.row_number().over(w3) - F.lit(1)) * F.col("crawl_delay_ms")).cast("long"),
+    return budget.withColumn("slot_ms", slots_col())
+
+
+def slots_col() -> Column:
+    """O27 politeness slots: virtual time within the round, per host."""
+    w3 = Window.partitionBy("host").orderBy(*_ord())
+    return ((F.row_number().over(w3) - F.lit(1)) * F.col("crawl_delay_ms")).cast("long")
+
+
+def rank_per_host(allowed: DataFrame, conf: CrawlConf, m: int,
+                  salted: bool) -> DataFrame:
+    """Attach ``_rn`` = exact per-host rank (1-based, total order ORD),
+    keeping only rank ≤ m. ``salted`` uses the two-phase skew-safe form
+    (phase 1 keeps m rows per (host, salt) — exact because each salt
+    retains ≥ m candidates; see ``dequeue``): required over the full
+    frontier where a hot host may hold millions of rows; unnecessary
+    over the head cache, whose per-host size is capped at m."""
+    ord_cols = _ord()
+    if salted and conf.salting_enabled and conf.salt_fanout > 1:
+        salt = umod_long(F.col("url_hash"), conf.salt_fanout)
+        w1 = Window.partitionBy("host", salt).orderBy(*ord_cols)
+        allowed = (
+            allowed.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= m)
+            .drop("_rn1")
+        )
+    w2 = Window.partitionBy("host").orderBy(*ord_cols)
+    return (
+        allowed.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= m)
     )
+
+
+def split_ranked(ranked: DataFrame, conf: CrawlConf,
+                 n_hosts: int) -> tuple[DataFrame, DataFrame]:
+    """O26/O31/O27 dequeue over a ``rank_per_host`` frame that also
+    yields the next head cache (docs/SEMANTICS.md §6b): the one ranked
+    pass serves both the schedule (rank ≤ k, then the global budget)
+    and the head survivors (rank ≤ m minus the scheduled rows). The
+    scheduled set is bit-identical to ``dequeue``'s — phase-2 top-k of
+    a superset that still contains the true top-k is the same top-k.
+    Callers cache ``ranked``: both outputs consume it."""
+    topk = ranked.filter(F.col("_rn") <= conf.per_host_k)
+    if n_hosts * conf.per_host_k <= conf.round_budget:
+        # statically non-binding budget (see dequeue): survivors are
+        # exactly the rank window (k, m]
+        scheduled = topk.drop("_rn")
+        survivors = ranked.filter(F.col("_rn") > conf.per_host_k).drop("_rn")
+    else:
+        scheduled = topk.drop("_rn").orderBy(*_ord()).limit(conf.round_budget)
+        # budget may skip arbitrary topk rows — recover survivors
+        # exactly as head ∖ scheduled (scheduled ≤ K rows, broadcast)
+        survivors = ranked.drop("_rn").join(
+            F.broadcast(scheduled.select("url_hash", "url")),
+            on=["url_hash", "url"], how="left_anti",
+        )
+    return scheduled.withColumn("slot_ms", slots_col()), survivors
 
 
 SEQ_KEY = ["slot_ms", "host_bucket", "host", "url_hash", "url"]
