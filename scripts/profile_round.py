@@ -23,11 +23,10 @@ spark = build_session(cores)
 fdir = "/root/repo/.fixtures/bench"
 out = tempfile.mkdtemp()
 engine, store = make_engine(spark, fdir, out, conf=BENCH)
-hosts = spark.read.parquet(f"{fdir}/hosts.parquet")
-seeds = hosts.select(
-    F.explode(F.sequence(F.lit(0), F.col("pages") - 1)).alias("j"), "host"
-).select(F.concat(F.lit("http://"), "host", F.lit("/p/"),
-                  F.col("j").cast("string")).alias("url"))
+sys.path.insert(0, "/root/repo/bench")
+from run_bench import universe_seeds
+
+seeds = universe_seeds(spark, fdir)
 t0 = time.time()
 engine.bootstrap(seeds)
 print(f"[{cores}] bootstrap {time.time()-t0:.1f}s")
