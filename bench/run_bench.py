@@ -77,7 +77,14 @@ def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:
 
     spark = build_session(cores)
     fdir = fixture_dir or str(ensure_bench_fixtures(spark))
-    with tempfile.TemporaryDirectory(prefix=f"bench{cores}-") as out:
+    # snapshot store on tmpfs, like spark.local.dir (cli.build_session):
+    # local[N] shares ONE real disk across every worker process, and a
+    # previous worker's multi-GB teardown writeback was intermittently
+    # stealing 30+ s from a round's scans (observed only in orchestrated
+    # back-to-back runs). Real clusters add local disks with every
+    # executor; RAM (125 GB) easily holds the ~4 GB bench store.
+    with tempfile.TemporaryDirectory(prefix=f"bench{cores}-",
+                                     dir="/dev/shm") as out:
         engine, store = make_engine(spark, fdir, out, conf=BENCH)
         # seed the frontier with the full universe (design-scale shape:
         # frontier >> per-round fetches)
