@@ -5,7 +5,7 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. Every query has a DuckDB oracle (24/24 value-checked): the
+cleanly. Every query has a DuckDB oracle (25/25 value-checked): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
 banding) are deterministic — their hyperplanes, rings and bands are
 literal-expressible — so the twin reproduces them exactly; semantic
@@ -279,6 +279,32 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)
 
 
+def q_phash_near_pairs(spark, sf_dir):
+    """O18 banded Hamming near-dup over a 60-bit fingerprint column.
+
+    The sf documents have no exact/near duplicate fingerprints (hash
+    noise alone almost never shares a 16-bit band AND passes the
+    Hamming filter), so the pool plants one: each doc's fingerprint
+    plus a 2-bit-mutated twin (id + 100000, phash ^ 3). Every twin
+    pair shares 3 of 4 bands with Hamming 2 — the banded join, the
+    exact bit_count check and the bucket cap are all exercised and
+    value-checked against the identical DuckDB construction."""
+    from ccrawler_spark.textops.dedup import phash_near_pairs
+    from ccrawler_spark.textops.hashing import phash60
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", phash60(F.col("text")).alias("phash")
+    )
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    return phash_near_pairs(
+        base.unionByName(mutated), id_col="doc_id", phash_col="phash",
+        max_hamming=6,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: priority-dequeue surrogate (the scheduler's O26 heart)
     on sf0.001."""
@@ -311,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "phash_near_pairs": q_phash_near_pairs,
     }
 
 
@@ -672,6 +699,25 @@ def oracle_sql() -> dict[str, str]:
                     JOIN embeddings va ON va.vec_id = pairs.id_a
                     JOIN embeddings vb ON vb.vec_id = pairs.id_b)
             ) WHERE cosine >= 0.4
+        """,
+        "phash_near_pairs": f"""
+            WITH p AS (
+              SELECT doc_id, {_h('text')} AS phash FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, xor({_h('text')}, 3) FROM documents
+            ),
+            banded AS (
+              SELECT doc_id, phash, band,
+                     (phash >> (16 * band)) & 65535 AS key
+              FROM p, (VALUES (0), (1), (2), (3)) AS bb(band)
+              QUALIFY count(*) OVER (PARTITION BY band,
+                      (phash >> (16 * band)) & 65535) <= {BAND_CAP}
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
         """,
         "simhash_near_pairs": f"""
             WITH th AS (SELECT doc_id,

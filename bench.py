@@ -29,7 +29,7 @@ HEADLINE = [
     "rollup_metrics", "hot_key_detection", "asof_latest", "set_union",
     "broadcast_dim_join", "bucket_histogram", "dedup_exact",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-    "simhash", "simhash_near_pairs", "token_stats",
+    "simhash", "simhash_near_pairs", "phash_near_pairs", "token_stats",
     "quality_score", "lang_id", "fingerprint", "ann_cosine_topk",
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "embedding_near_dup",
 ]
