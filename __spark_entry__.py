@@ -444,7 +444,7 @@ def oracle_sql() -> dict[str, str]:
     # SRP-LSH literals — the same deterministic hyperplanes and query
     # ring the Spark operators use (similarity.ann_topk_lsh /
     # embedding_near_dup_pairs with n_planes=8, n_tables=4)
-    from ccrawler_spark.textops.similarity import _hyperplanes
+    from ccrawler_spark.textops.similarity import SRP_BUCKET_CAP, _hyperplanes
 
     qbits = 0
     for p, plane in enumerate(_hyperplanes(EMB_DIM, 8, 0)):
@@ -681,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, tbl,
                      CASE tbl {srp_table_cases} END AS bucket
               FROM embeddings, (VALUES (0), (1), (2), (3)) AS t(tbl)
+              QUALIFY count(*) OVER (PARTITION BY tbl,
+                      CASE tbl {srp_table_cases} END) <= {SRP_BUCKET_CAP}
             ), pairs AS (
               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               FROM bk a JOIN bk b

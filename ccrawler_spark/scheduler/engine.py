@@ -360,9 +360,15 @@ class CrawlEngine:
                         .filter(F.col("allowed"))
                         .select(*HEAD_COLS)
                     )
+                    # salted: per-host input here is bounded (≤ m survivors
+                    # + one round's discoveries), but a hot host can still
+                    # receive the bulk of a round's adds in one window
+                    # partition — the two-phase form is exact for any m
+                    # (rank_per_host docstring), so salting costs nothing
+                    # in correctness and removes the straggler task
                     new_head = stages.rank_per_host(
                         new_head.unionByName(fresh_allowed), conf,
-                        self._head_m(), salted=False,
+                        self._head_m(), salted=True,
                     ).drop("_rn").select(*HEAD_COLS)
                 jobs["head"] = ex.submit(
                     store.write_parquet, new_head, "frontier", f"head-r{r}"

@@ -9,7 +9,7 @@ the full corpus. Dot products are JVM-side ``F.zip_with`` +
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import phash60_py
@@ -246,9 +246,23 @@ def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return ann_topk_bruteforce(cands, query_vec, k, id_col)
 
 
+SRP_BUCKET_CAP = 1024  # drop (table, bucket) groups larger than this
+# before the blocking self-join in embedding_near_dup_pairs — the same
+# hygiene as dedup.BAND_CAP: a group of size m contributes O(m²) join
+# rows, and a degenerate embedding cluster (e.g. all-zero vectors, which
+# land in bucket 0 of every table) would otherwise send the equi-join
+# quadratic. The n_planes sizing rule (see docstring) bounds the
+# *uniform* regime; the cap bounds the pathological one. Recall trade: a
+# true near pair inside an over-cap cluster is lost only if ALL
+# n_tables of its shared buckets are over cap at once — which at the
+# documented sizing means the data itself is degenerate at that point.
+# The DuckDB oracle twin applies the identical cap (QUALIFY).
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
                              threshold: float = 0.95,
-                             n_planes: int = 8, n_tables: int = 4) -> DataFrame:
+                             n_planes: int = 8, n_tables: int = 4,
+                             bucket_cap: int = SRP_BUCKET_CAP) -> DataFrame:
     """Embedding-cosine near-dup: OR-amplified SRP blocking — L
     independent hash tables (a true pair at cos≈0.99 lands in the same
     bucket of at least one table with P ≈ 1-(1-0.96^k)^L > 0.999),
@@ -268,8 +282,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     # per pair: at 10^9 vectors that is the difference between O(N)
     # and O(|pairs|) norm computations
     b = srp_buckets(embeddings, dim, n_planes, n_tables, with_norm=True)
-    left = b.select(F.col("vec_id").alias("id_a"), "table", "bucket")
-    right = b.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+    # pre-join group cap (see SRP_BUCKET_CAP): the windowed count runs on
+    # (id, table, bucket) triples only — never vectors
+    w_cap = Window.partitionBy("table", "bucket")
+    capped = (
+        b.withColumn("_bn", F.count("*").over(w_cap))
+        .filter(F.col("_bn") <= bucket_cap)
+        .drop("_bn")
+    )
+    left = capped.select(F.col("vec_id").alias("id_a"), "table", "bucket")
+    right = capped.select(F.col("vec_id").alias("id_b"), "table", "bucket")
     pairs = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
