@@ -702,42 +702,71 @@ def oracle_sql() -> dict[str, str]:
                     JOIN embeddings vb ON vb.vec_id = pairs.id_b)
             ) WHERE cosine >= 0.4
         """,
+        # collapse-then-band, matching dedup._banded_hamming_pairs:
+        # Hamming-0 pairs from an exact fingerprint self-join (uncapped),
+        # banding + cap over DISTINCT fingerprints, then fingerprint
+        # pairs expanded back to member pairs
         "phash_near_pairs": f"""
             WITH p AS (
               SELECT doc_id, {_h('text')} AS phash FROM documents
               UNION ALL
               SELECT doc_id + 100000, xor({_h('text')}, 3) FROM documents
             ),
+            d AS (SELECT DISTINCT phash FROM p),
             banded AS (
-              SELECT doc_id, phash, band,
-                     (phash >> (16 * band)) & 65535 AS key
-              FROM p, (VALUES (0), (1), (2), (3)) AS bb(band)
+              SELECT phash, band, (phash >> (16 * band)) & 65535 AS key
+              FROM d, (VALUES (0), (1), (2), (3)) AS bb(band)
               QUALIFY count(*) OVER (PARTITION BY band,
                       (phash >> (16 * band)) & 65535) <= {BAND_CAP}
+            ),
+            hp AS (
+              SELECT DISTINCT a.phash AS ha, b.phash AS hb,
+                     CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.phash < b.phash
+              WHERE bit_count(xor(a.phash, b.phash)) <= 6
             )
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM p a JOIN p b
+              ON a.phash = b.phash AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                   greatest(ma.doc_id, mb.doc_id) AS id_b, hp.hamming
+            FROM hp
+            JOIN p ma ON ma.phash = hp.ha
+            JOIN p mb ON mb.phash = hp.hb
         """,
         "simhash_near_pairs": f"""
             WITH th AS (SELECT doc_id,
                           list_transform({_TOKENS}, t -> {_h('t')}) AS th
                         FROM documents),
             s AS (SELECT doc_id, ({simhash_sum}) AS simhash FROM th),
+            d AS (SELECT DISTINCT simhash FROM s),
             banded AS (
-              SELECT doc_id, simhash, band,
-                     (simhash >> (15 * band)) & 32767 AS key
-              FROM s, (VALUES (0), (1), (2), (3)) AS bb(band)
+              SELECT simhash, band, (simhash >> (15 * band)) & 32767 AS key
+              FROM d, (VALUES (0), (1), (2), (3)) AS bb(band)
               QUALIFY count(*) OVER (PARTITION BY band,
                       (simhash >> (15 * band)) & 32767) <= {BAND_CAP}
+            ),
+            hp AS (
+              SELECT DISTINCT a.simhash AS ha, b.simhash AS hb,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key
+               AND a.simhash < b.simhash
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
-                     AS hamming
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(0 AS INT) AS hamming
+            FROM s a JOIN s b
+              ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT least(sa.doc_id, sb.doc_id) AS doc_a,
+                   greatest(sa.doc_id, sb.doc_id) AS doc_b, hp.hamming
+            FROM hp
+            JOIN s sa ON sa.simhash = hp.ha
+            JOIN s sb ON sb.simhash = hp.hb
         """,
     }

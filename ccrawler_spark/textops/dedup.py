@@ -269,16 +269,85 @@ BAND_CAP = 1024  # drop (band, key) groups larger than this before the
 # banded self-joins below — the same hygiene as LSH_BUCKET_CAP: a group
 # of size m contributes O(m²) join rows, and at 10⁹ docs a 15-16-bit
 # band key collides ~3×10⁴ deep on hash noise alone, sending the
-# equi-join quadratic with no true near-dups involved. Recall trade: a
-# true near pair whose every shared band lands in an over-full group is
-# lost; with 4 bands the loss needs all of them over cap at once, so
-# recall degrades only where the data itself is pathological
-# (boilerplate / constant fingerprints). The cap is higher than
-# LSH_BUCKET_CAP because these bands carry *exact duplicates* too
-# (Hamming 0 shares all 4 bands): a duplicate cluster larger than the
-# cap would silently drop its own pairs, so the cap targets the hash-
-# noise regime (≫ expected duplicate-cluster size, ≪ 10⁴ collision
-# depth at 10⁹ rows). The DuckDB oracle twin applies the identical cap.
+# equi-join quadratic with no true near-dups involved. The cap applies
+# to DISTINCT fingerprints only: identical fingerprints are collapsed
+# to one representative before banding, and their intra-cluster pairs
+# (Hamming 0) are emitted from an exact fingerprint self-join that the
+# cap never touches — so a boilerplate/constant-fingerprint cluster of
+# any size keeps all its pairs (the realistic crawl-corpus case that a
+# raw member-level cap would silently drop). Recall trade on the
+# remaining Hamming ≥ 1 pairs: a true near pair is lost only if every
+# one of its shared bands holds > cap distinct fingerprints — pure
+# hash-noise density, ≫ any plausible near-dup neighborhood. The
+# DuckDB oracle twin applies the identical collapse + cap.
+
+
+def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
+                          out_a: str, out_b: str, n_bands: int,
+                          band_bits: int, max_hamming: int,
+                          band_cap: int) -> DataFrame:
+    """Shared core of phash/simhash near-dup: banded LSH over DISTINCT
+    fingerprints + exact-duplicate expansion (see BAND_CAP).
+
+    Scale shape: the banded self-join carries (band, key, fingerprint)
+    triples over *distinct* fingerprints; members (id ↔ fingerprint)
+    re-attach per pair side afterwards, touching O(|pairs|) rows. The
+    exact-dup self-join keys on the full fingerprint, so only true
+    duplicate clusters collide there — its output is exactly the
+    intra-cluster pairs, which are the answer, not noise."""
+    members = df.select(F.col(id_col).alias("_id"), F.col(h_col).alias("_h"))
+    # Hamming-0 pairs: an equi-join on the full fingerprint, no banding,
+    # no cap — output size = Σ c·(c-1)/2 over duplicate clusters, which
+    # is the result itself (pair semantics), not join-noise blowup
+    ma = members.select(F.col("_id").alias(out_a), "_h")
+    mb = members.select(F.col("_id").alias(out_b), "_h")
+    exact = (
+        ma.join(mb, on="_h")
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b, F.lit(0).alias("hamming"))
+    )
+    distinct_h = members.select("_h").distinct()
+    bands = [
+        F.shiftrightunsigned(F.col("_h"), band_bits * b)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        .alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = distinct_h.select(
+        "_h", F.posexplode(F.array(*bands)).alias("band", "key")
+    )
+    w = Window.partitionBy("band", "key")
+    banded = (
+        banded.withColumn("_bn", F.count("*").over(w))
+        .filter(F.col("_bn") <= band_cap)
+        .drop("_bn")
+    )
+    ba = banded.select(F.col("_h").alias("_ha"), "band", "key")
+    bb = banded.select(F.col("_h").alias("_hb"), "band", "key")
+    hp = (
+        ba.join(bb, on=["band", "key"])
+        .filter(F.col("_ha") < F.col("_hb"))
+        .select(
+            "_ha", "_hb",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    # expand fingerprint pairs to member pairs (cross product of the two
+    # clusters — every such pair is a true near-dup at that distance)
+    near = (
+        hp.join(members.select(F.col("_id").alias("_ida"),
+                               F.col("_h").alias("_ha")), on="_ha")
+        .join(members.select(F.col("_id").alias("_idb"),
+                             F.col("_h").alias("_hb")), on="_hb")
+        .select(
+            F.least("_ida", "_idb").alias(out_a),
+            F.greatest("_ida", "_idb").alias(out_b),
+            "hamming",
+        )
+    )
+    return exact.unionByName(near)
 
 
 def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
@@ -289,37 +358,14 @@ def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
     self-join never goes O(n²); exact distance check afterwards with
     ``bit_count(a ^ b)``. By pigeonhole, any pair within Hamming ≤ 3 is
     guaranteed to share a band; larger distances are found with high
-    probability. (band, key) groups above ``band_cap`` are dropped
-    before the join (see BAND_CAP for the recall trade)."""
-    bands = [
-        F.shiftrightunsigned(F.col(phash_col), 16 * b)
-        .bitwiseAND(F.lit((1 << 16) - 1))
-        .alias(f"b{b}")
-        for b in range(4)
-    ]
-    banded = df.select(
-        F.col(id_col), F.col(phash_col),
-        F.posexplode(F.array(*bands)).alias("band", "key"),
-    )
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("_bn", F.count("*").over(w))
-        .filter(F.col("_bn") <= band_cap)
-        .drop("_bn")
-    )
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col(phash_col).alias("h_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col(phash_col).alias("h_b"), "band", "key")
-    return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    probability. Identical fingerprints are collapsed before banding
+    and their pairs emitted exactly; (band, key) groups above
+    ``band_cap`` *distinct* fingerprints are dropped before the join
+    (see BAND_CAP)."""
+    return _banded_hamming_pairs(
+        df, id_col, phash_col, out_a="id_a", out_b="id_b",
+        n_bands=4, band_bits=16, max_hamming=max_hamming,
+        band_cap=band_cap,
     )
 
 
@@ -328,34 +374,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     """Near-dup pairs by SimHash Hamming distance, banded to avoid the
     O(n²) self-join: 4 bands of 15 bits each — any pair within Hamming
     ≤ 8 of a 60-bit fingerprint shares at least one exact band with
-    good probability (exact guarantee at ≤ 3 by pigeonhole). (band,
-    key) groups above ``band_cap`` are dropped before the join (see
-    BAND_CAP for the recall trade; the DuckDB twin caps in lockstep)."""
+    good probability (exact guarantee at ≤ 3 by pigeonhole). Identical
+    fingerprints are collapsed before banding and their pairs emitted
+    exactly; (band, key) groups above ``band_cap`` *distinct*
+    fingerprints are dropped before the join (see BAND_CAP; the DuckDB
+    twin collapses and caps in lockstep)."""
     # exchange barrier: 4 band accesses would otherwise each re-inline
     # the whole simhash vote pipeline (no CSE in interpreted HOFs)
     sh = simhash64(docs).repartition("doc_id")
-    bands = [
-        F.shiftrightunsigned(F.col("simhash"), 15 * b)
-        .bitwiseAND(F.lit((1 << 15) - 1))
-        .alias(f"b{b}")
-        for b in range(4)
-    ]
-    banded = sh.select("doc_id", "simhash", F.posexplode(F.array(*bands)).alias("band", "key"))
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("_bn", F.count("*").over(w))
-        .filter(F.col("_bn") <= band_cap)
-        .drop("_bn")
-    )
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "key")
-    return (
-        a.join(b, on=["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _banded_hamming_pairs(
+        sh, "doc_id", "simhash", out_a="doc_a", out_b="doc_b",
+        n_bands=4, band_bits=15, max_hamming=max_hamming,
+        band_cap=band_cap,
     )

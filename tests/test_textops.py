@@ -189,3 +189,25 @@ def test_ann_ivf_finds_planted_neighbors(spark):
     ]
     assert set(exact) == {0, 1, 2}
     assert set(approx) == set(exact)
+
+
+def test_near_pairs_exact_cluster_survives_band_cap(spark):
+    """An exact-duplicate cluster LARGER than band_cap must keep all its
+    intra-cluster pairs (collapse-before-band, see dedup.BAND_CAP), and
+    near pairs to a distinct fingerprint must expand to every member."""
+    from ccrawler_spark.textops.dedup import phash_near_pairs
+
+    cap = 8
+    n_dup = 12  # > cap: a raw member-level cap would drop ALL its pairs
+    rows = [(i, 0x1234_5678_9ABC_0000) for i in range(n_dup)]
+    rows.append((100, 0x1234_5678_9ABC_0003))  # hamming 2 from the cluster
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    pairs = phash_near_pairs(df, id_col="image_id", max_hamming=6,
+                             band_cap=cap).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+    near = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 2}
+    assert len(exact) == n_dup * (n_dup - 1) // 2
+    # the near twin pairs with every cluster member (expansion), because
+    # the banding sees 2 DISTINCT fingerprints — far under the cap
+    assert near == {(i, 100) for i in range(n_dup)}
+    assert len(pairs) == len(exact) + len(near)
