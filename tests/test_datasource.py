@@ -76,9 +76,10 @@ def test_bucket_filter_correct_and_pruned(run):
     from pyspark.sql.datasource import EqualTo
 
     reader = SnapshotFrontierReader(str(store.root), n)
-    all_parts = len(reader.partitions())
+    all_files = sum(len(p.files) for p in reader.partitions())
     unhandled = list(reader.pushFilters([EqualTo(("host_bucket",), bucket)]))
     assert unhandled == []  # fully handled by pruning
     pruned = reader.partitions()
-    assert 0 < len(pruned) < all_parts
-    assert all(p.host_bucket == bucket for p in pruned)
+    pruned_files = [f for p in pruned for f in p.files]
+    assert 0 < len(pruned_files) < all_files
+    assert all(b == bucket for (_, b, _) in pruned_files)
