@@ -38,34 +38,12 @@ TIMED_ROUNDS = 4
 
 
 def universe_seeds(spark, fdir: str):
-    """Full-universe seed URLs, balanced for generation.
+    """Full-universe seed URLs, balanced for generation (the two-level
+    explode lives in fixtures.gen.universe_urls_df — see its docstring
+    for the straggler rationale)."""
+    from ccrawler_spark.fixtures.gen import universe_urls_df
 
-    Two-level explode: hosts.parquet is one file → one input split, so
-    a direct 10M-row generate runs (and feeds the downstream shuffle
-    from) a single task — a measured 49 s straggler at local[32]; and
-    the Zipf head host alone is 2M pages, so spreading by host is not
-    enough. Explode 50k-page chunks first, shuffle the (host, chunk)
-    pairs, then explode pages within each chunk."""
-    from pyspark.sql import functions as F
-
-    CH = 50_000
-    hosts = spark.read.parquet(f"{fdir}/hosts.parquet")
-    chunks = hosts.select(
-        "host", "pages",
-        F.explode(
-            F.sequence(F.lit(0), ((F.col("pages") - 1) / CH).cast("long"))
-        ).alias("c"),
-    ).repartition(spark.sparkContext.defaultParallelism * 4)
-    return chunks.select(
-        "host",
-        F.explode(
-            F.sequence(
-                F.col("c") * CH,
-                F.least(F.col("pages") - 1, (F.col("c") + 1) * CH - 1),
-            )
-        ).alias("j"),
-    ).select(F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"),
-                      F.col("j").cast("string")).alias("url"))
+    return universe_urls_df(spark, fdir).select("url")
 
 
 def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:

@@ -205,6 +205,65 @@ def ensure_bench_fixtures(spark) -> pathlib.Path:
     return out
 
 
+def universe_urls_df(spark, fdir: str, chunk: int = 50_000):
+    """Full-universe canonical URLs (+ host) from hosts.parquet,
+    balanced for generation.
+
+    Two-level explode: hosts.parquet is one file → one input split, so
+    a direct 10M-row generate runs (and feeds the downstream shuffle
+    from) a single task — a measured 49 s straggler at local[32]; and
+    the Zipf head host alone is 2M pages, so spreading by host is not
+    enough. Explode 50k-page chunks first, shuffle the (host, chunk)
+    pairs, then explode pages within each chunk."""
+    from pyspark.sql import functions as F
+
+    hosts = spark.read.parquet(f"{fdir}/hosts.parquet")
+    chunks = hosts.select(
+        "host", "pages",
+        F.explode(
+            F.sequence(F.lit(0), ((F.col("pages") - 1) / chunk).cast("long"))
+        ).alias("c"),
+    ).repartition(spark.sparkContext.defaultParallelism * 4)
+    return chunks.select(
+        "host",
+        F.explode(
+            F.sequence(
+                F.col("c") * chunk,
+                F.least(F.col("pages") - 1, (F.col("c") + 1) * chunk - 1),
+            )
+        ).alias("j"),
+    ).select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"),
+                 F.col("j").cast("string")).alias("url"),
+        "host",
+    )
+
+
+def ensure_corpus_layout(spark, fdir) -> pathlib.Path:
+    """Fetch-path corpus layout for a fixture dir (io/corpus_layout):
+    one-time indexing job, cached next to the fixtures. The
+    (image_id → host) map is recomputed from the URL universe — in a
+    real crawl store the fetcher records the source host with every
+    payload, so this join is fixture plumbing, not operator cost."""
+    from pyspark.sql import functions as F
+
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+    from ccrawler_spark.io.corpus_layout import write_corpus_layout
+
+    fdir = pathlib.Path(fdir)
+    out = fdir / "corpus_layout"
+    if (fdir / "_LAYOUT_DONE").exists():
+        return out
+    corpus = spark.read.parquet(str(fdir / "corpus.parquet"))
+    urls = universe_urls_df(spark, str(fdir))
+    url_map = urls.select(
+        image_id_of(F.col("url")).alias("image_id"), "host"
+    )
+    write_corpus_layout(corpus, url_map, str(out))
+    (fdir / "_LAYOUT_DONE").touch()
+    return out
+
+
 if __name__ == "__main__":
     import sys
 

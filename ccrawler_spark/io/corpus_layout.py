@@ -1,0 +1,118 @@
+"""Fetch-path corpus layout: bucket-partitioned, host/image_id-clustered
+parquet so a scheduling round's fetch join stops scanning the whole
+corpus payload column (the last O(corpus)-per-round structure at design
+scale — VERDICT r3 #1).
+
+The crawl corpus (BASELINE.json input_hint schema: image_id, bytes, w,
+h, fmt, caption, phash) is keyed by ``image_id`` = sha256(url)[:16] —
+pure hash, so a flat corpus has no locality whatsoever and every fetch
+round's broadcast join must scan every row group of the multi-TB
+``bytes`` column. But the *schedule* has structure: politeness bounds a
+round to ≤ per_host_k fetches per host, so a round touches at most
+K / per_host_k distinct hosts — at design scale (10^10-row corpus,
+K ≪ corpus) a small fraction of the host universe. The layout makes
+that structure physical:
+
+- **partitioned by** ``host_bucket=`` (the crawler writes the corpus,
+  so it knows the source host of every image) — the fetch join prunes
+  to the buckets actually scheduled (free: the engine already has the
+  scheduled per-bucket counts driver-side for lineage);
+- **clustered** (sorted within files) **by (host, image_id)** — parquet
+  row-group min/max statistics on ``host`` become tight ranges over the
+  sorted host order, so a pushed-down ``host IN (scheduled hosts)``
+  filter skips every row group of unscheduled hosts; within a big
+  host's run the ``image_id`` stats are sorted ranges too, so a pushed
+  ``image_id IN (...)`` additionally skips cold id ranges when the
+  fetch batch is small;
+- **small-ish row groups** (``row_group_bytes``) — the skipping
+  granularity; at design scale with ~100 KB images the default 128 MB
+  row group holds ~10^3 rows, which is already fine — the knob matters
+  at sandbox scale where rows are ~400 B.
+
+Writing the layout is a one-time (or periodic, post-compaction) Spark
+job — exactly the kind of table-maintenance job an Iceberg warehouse
+runs anyway (rewrite_data_files with a sort order); the pruned read
+path is plain ``spark.read.parquet`` + pushable filters, nothing
+custom, so Catalyst/Parquet do the skipping.
+
+Dense-schedule regime (the bench conf fetches ~20% of the corpus per
+round, touching every host): the filters select everything, parquet
+keeps every row group, and the scan cost equals the flat layout's —
+the pruning is never a regression. Measured numbers + the row-group
+touch histogram live in docs/SCALING.md (finding 8, updated r4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ccrawler_spark.functions.spark_exprs import host_bucket, umod_long
+
+# pushdown caps (physical planning only — results are identical with or
+# without pruning, so these are module constants, not CrawlConf fields):
+# above these cardinalities the IN-literal lists stop paying for their
+# plan-side cost and the engine falls back to bucket-only pruning
+HOST_PUSHDOWN_CAP = 1024
+ID_PUSHDOWN_CAP = 4096
+
+# sandbox default: bench corpus rows are ~400 B, so 2 MiB row groups
+# ≈ 5k rows — fine enough for host-level skipping to show. At design
+# scale (~100 KB images) the parquet default (128 MiB) already gives
+# ~10^3-row groups; pass row_group_bytes=None to keep it.
+ROW_GROUP_BYTES = 2 * 1024 * 1024
+
+
+def write_corpus_layout(
+    corpus: DataFrame,
+    url_map: DataFrame,
+    path: str,
+    buckets: int = 64,
+    row_group_bytes: int | None = ROW_GROUP_BYTES,
+    layout_partitions: int = 256,
+) -> None:
+    """One-time layout job: corpus ⋈ (image_id → host), partitioned by
+    host_bucket, clustered by (host, image_id).
+
+    ``url_map`` carries (image_id, host) — in a real crawl store the
+    fetcher records the source host with every payload, so this join
+    exists only because the sandbox fixture corpus pre-dates the
+    layout. The salt in the repartition splits a hot host's rows over
+    ~4 writer tasks (Zipf head host alone is ~20% of the corpus);
+    every file stays internally sorted, so row-group stats remain
+    tight regardless of how many files a bucket has.
+    """
+    df = corpus.join(url_map.select("image_id", "host"), on="image_id")
+    df = df.withColumn("host_bucket", host_bucket(F.col("host"), buckets))
+    salt = umod_long(F.xxhash64("image_id"), 4)
+    w = (
+        df.repartition(layout_partitions, F.col("host_bucket"), salt)
+        .sortWithinPartitions("host_bucket", "host", "image_id")
+        .write.mode("overwrite")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.partitionBy("host_bucket").parquet(path)
+
+
+def pruned_corpus(
+    spark: SparkSession,
+    path: str,
+    buckets=None,
+    hosts=None,
+    ids=None,
+) -> DataFrame:
+    """Layout scan with whatever schedule structure the caller has:
+    bucket partition pruning + pushed-down host / image_id IN filters
+    (row-group skipping via the layout's sorted min/max stats). All
+    three prunings are sound for the fetch join — a corpus row outside
+    the scheduled (bucket, host, id) sets cannot match any scheduled
+    row — so results are identical to the flat scan."""
+    df = spark.read.parquet(path)
+    if buckets is not None:
+        df = df.filter(F.col("host_bucket").isin([int(b) for b in buckets]))
+    if hosts is not None:
+        df = df.filter(F.col("host").isin(sorted(hosts)))
+    if ids is not None:
+        df = df.filter(F.col("image_id").isin(sorted(ids)))
+    return df

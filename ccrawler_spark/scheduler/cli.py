@@ -62,13 +62,20 @@ def build_session(cores: int, shuffle_partitions: int | None = None):
         # expose enough tasks for the largest local[N] we bench
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # keep large IN filters pushed to parquet as exact value sets
+        # (above the default threshold of 10 Spark degrades them to a
+        # [min,max] range, useless for hash-scattered hosts/ids) — the
+        # pruned fetch path pushes up to HOST/ID_PUSHDOWN_CAP literals
+        # against the sorted corpus layout (io/corpus_layout)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .getOrCreate()
     )
 
 
-def make_engine(spark, fixture_dir: str, out_dir: str, conf=None, size: str = "tiny"):
+def make_engine(spark, fixture_dir: str, out_dir: str, conf=None,
+                size: str = "tiny", corpus_layout: str | None = None):
     from ccrawler_spark import conf as confmod
     from ccrawler_spark.io.snapshot import SnapshotStore
     from ccrawler_spark.scheduler.engine import CrawlEngine
@@ -79,7 +86,8 @@ def make_engine(spark, fixture_dir: str, out_dir: str, conf=None, size: str = "t
     corpus = spark.read.parquet(f"{fixture_dir}/corpus.parquet")
     hosts = spark.read.parquet(f"{fixture_dir}/hosts.parquet")
     robots = spark.read.parquet(f"{fixture_dir}/robots.parquet")
-    return CrawlEngine(spark, store, corpus, hosts, robots, conf), store
+    return CrawlEngine(spark, store, corpus, hosts, robots, conf,
+                       corpus_layout=corpus_layout), store
 
 
 def main(argv=None):

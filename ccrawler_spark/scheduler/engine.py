@@ -63,10 +63,17 @@ class CrawlEngine:
         hosts: DataFrame,
         robots: DataFrame,
         conf: CrawlConf,
+        corpus_layout: str | None = None,
     ):
         self.spark = spark
         self.store = store
         self.corpus = corpus
+        # optional bucket-partitioned / (host, image_id)-clustered corpus
+        # (io/corpus_layout): the fetch join prunes its scan to the
+        # scheduled buckets + (when the schedule is host-sparse) pushed
+        # host/id filters, instead of scanning the whole payload column
+        # every round. Purely physical — fetch results are identical.
+        self.corpus_layout = corpus_layout
         self.hosts = hosts
         self.H = hosts.count()
         self.robots_active = stages.robots_active(robots, conf.robots_version).cache()
@@ -272,7 +279,11 @@ class CrawlEngine:
         # below (independent given the scheduled cache)
         from concurrent.futures import ThreadPoolExecutor
 
-        fetched = fetch_and_decode(scheduled, self.corpus)
+        corpus_side = (
+            self._pruned_corpus(scheduled, sched_counts)
+            if self.corpus_layout is not None else self.corpus
+        )
+        fetched = fetch_and_decode(scheduled, corpus_side)
         fetch_log = fetched.select(
             "seq", "url", "host", "host_bucket", "slot_ms", "priority",
             "discover_ts", "depth", "fetch_ok", "pixels_ok", "caption_ok",
@@ -491,6 +502,46 @@ class CrawlEngine:
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
 
     # ------------------------------------------------------------- helpers
+    def _pruned_corpus(self, scheduled: DataFrame,
+                       sched_counts: dict[int, int]) -> DataFrame:
+        """Corpus scan pruned by this round's schedule structure
+        (io/corpus_layout): always bucket partition pruning (the
+        per-bucket counts are already driver-side for lineage), plus
+        pushed host / image_id IN filters when the schedule is sparse
+        enough for them to pay. The host-collect is gated by a free
+        lower bound: each host contributes ≤ per_host_k scheduled rows,
+        so distinct hosts ≥ n / per_host_k — when that already exceeds
+        the cap (the dense regime, e.g. the bench conf), no extra job
+        runs at all. The collects that do run are schedule METADATA
+        (≤ cap rows off the cached scheduled frame) — same class as the
+        intentional lineage collect below, not data movement."""
+        from math import ceil
+
+        from ccrawler_spark.io.corpus_layout import (
+            HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP, pruned_corpus,
+        )
+
+        n = sum(sched_counts.values())
+        hosts = ids = None
+        if n and ceil(n / self.conf.per_host_k) <= HOST_PUSHDOWN_CAP:
+            if n <= ID_PUSHDOWN_CAP:
+                rows = scheduled.select("host", "image_id").collect()
+                hosts = {r["host"] for r in rows}
+                ids = {r["image_id"] for r in rows}
+            else:
+                rows = (
+                    scheduled.select("host").distinct()
+                    .limit(HOST_PUSHDOWN_CAP + 1).collect()
+                )
+                if len(rows) <= HOST_PUSHDOWN_CAP:
+                    hosts = {r["host"] for r in rows}
+            if hosts is not None and len(hosts) > HOST_PUSHDOWN_CAP:
+                hosts = None
+        return pruned_corpus(
+            self.spark, self.corpus_layout,
+            buckets=sorted(sched_counts), hosts=hosts, ids=ids,
+        )
+
     def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
         # intentional collect: tiny side — B ≤ 64 aggregated rows, the
         # only .collect() in the engine (lineage bookkeeping, not data)

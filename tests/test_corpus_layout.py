@@ -1,0 +1,129 @@
+"""Fetch-path corpus layout (io/corpus_layout): engine parity with the
+flat corpus, plan-level pushdown proof, and metadata-level row-group
+skipping proof."""
+
+import pathlib
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def layout_dir(spark, tiny_fixtures):
+    from ccrawler_spark.fixtures.gen import ensure_corpus_layout
+
+    return str(ensure_corpus_layout(spark, tiny_fixtures))
+
+
+def _run(spark, fdir, rounds=3, corpus_layout=None):
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    out = tempfile.mkdtemp(prefix="layout-parity-")
+    engine, store = make_engine(
+        spark, str(fdir), out, size="tiny", corpus_layout=corpus_layout
+    )
+    engine.bootstrap(spark.read.parquet(f"{fdir}/seeds.parquet"))
+    for r in range(1, rounds + 1):
+        engine.run_round(r)
+    return store
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+
+def test_engine_parity_layout_on_off(spark, tiny_fixtures, layout_dir):
+    """The pruned fetch path is purely physical: fetch_log and frontier
+    must be byte-identical with and without the layout."""
+    s_flat = _run(spark, tiny_fixtures)
+    s_lay = _run(spark, tiny_fixtures, corpus_layout=layout_dir)
+    n = s_flat.latest()
+    assert s_lay.latest() == n
+    assert _sorted_rows(s_flat.read_fetch_log(n)) == _sorted_rows(
+        s_lay.read_fetch_log(n)
+    )
+    assert _sorted_rows(s_flat.read_frontier(n)) == _sorted_rows(
+        s_lay.read_frontier(n)
+    )
+
+
+def test_pruned_scan_pushes_filters(spark, layout_dir):
+    """Plan proof: host_bucket hits PartitionFilters (whole directories
+    pruned), host/image_id IN lists hit PushedFilters (row-group
+    skipping via the sorted layout's min/max stats)."""
+    from ccrawler_spark.io.corpus_layout import pruned_corpus
+
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+    hosts = [f"h{i}.example" for i in range(12)]  # > default threshold 10
+    df = pruned_corpus(spark, layout_dir, buckets=[1, 2, 3], hosts=hosts)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [host_bucket" in plan
+    assert "In(host" in plan.split("PushedFilters")[1]
+    # the id pushdown, on its own scan (the plan string truncates the
+    # filter list, so both INs are not visible in one dump)
+    ids = [f"{i:016x}" for i in range(12)]
+    df2 = pruned_corpus(spark, layout_dir, ids=ids)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "In(image_id" in plan2.split("PushedFilters")[1]
+
+
+def test_pruned_values_match_flat(spark, tiny_fixtures, layout_dir):
+    """Value proof: pruning by (bucket, host) returns exactly the flat
+    corpus rows of those hosts."""
+    from ccrawler_spark.functions.hashing import umod, xxhash64_str
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.io.corpus_layout import pruned_corpus
+
+    hosts = ["h0.example", "h7.example"]
+    buckets = {umod(xxhash64_str(h), 64) for h in hosts}
+    got = pruned_corpus(
+        spark, layout_dir, buckets=buckets, hosts=hosts
+    ).select("image_id", "fmt", "phash")
+    url_map = universe_urls_df(spark, str(tiny_fixtures))
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+
+    want_ids = url_map.filter(F.col("host").isin(hosts)).select(
+        image_id_of(F.col("url")).alias("image_id")
+    )
+    flat = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+    want = flat.join(want_ids, on="image_id").select(
+        "image_id", "fmt", "phash"
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_row_group_stats_enable_skipping(spark, tiny_fixtures):
+    """Metadata proof: with the clustered sort order, a single host's
+    rows concentrate in few row groups — the [min,max] host stats of
+    most groups exclude it, so a pushed host filter skips them. The
+    flat corpus (hash order) has no such structure."""
+    import pyarrow.parquet as pq
+
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+    from ccrawler_spark.io.corpus_layout import write_corpus_layout
+
+    out = tempfile.mkdtemp(prefix="layout-rg-") + "/layout"
+    corpus = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+    url_map = universe_urls_df(spark, str(tiny_fixtures)).select(
+        image_id_of(F.col("url")).alias("image_id"), "host"
+    )
+    # tiny rows → tiny row groups so the 1000-row corpus has many
+    write_corpus_layout(corpus, url_map, out, row_group_bytes=16 * 1024)
+    total, touched = 0, 0
+    target = "h19.example"  # a tail host, small page count
+    for pf in pathlib.Path(out).glob("host_bucket=*/*.parquet"):
+        md = pq.ParquetFile(pf).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "host"
+            )
+            total += 1
+            st = col.statistics
+            if st.min <= target <= st.max:
+                touched += 1
+    assert total >= 8  # the knob actually produced many row groups
+    assert touched < total  # stats exclude the host from most groups
