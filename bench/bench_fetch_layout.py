@@ -1,0 +1,168 @@
+"""Measure the fetch-path corpus layout (io/corpus_layout) against the
+flat corpus at bench scale (10^7-row corpus), in both scheduling
+regimes, plus the row-group-touch histogram VERDICT r3 asked for.
+
+- **sparse** (the design-scale shape: frontier ≫ fetch batch, a round
+  touches a small fraction of the host universe): ~1% of hosts
+  scheduled at per_host_k=200. The layout prunes to the scheduled
+  buckets and pushes the host IN filter; the flat corpus must scan
+  everything.
+- **dense** (the sandbox bench conf: per_host_k=200 over ALL hosts,
+  ~20% of the corpus fetched per round): every bucket and essentially
+  every row group is touched — the histogram quantifies that, which is
+  the measured irreducibility proof for the dense regime.
+
+    python bench/bench_fetch_layout.py [--cores 32]
+
+Writes BENCH/fetch_layout.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def scheduled_for_hosts(spark, fdir: str, step: int, k: int):
+    """Schedule the first k pages of every step-th host (deterministic,
+    mixes Zipf head and tail)."""
+    from pyspark.sql import functions as F
+
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.functions.spark_exprs import (
+        host_bucket, image_id_of,
+    )
+
+    urls = universe_urls_df(spark, fdir)
+    picked = urls.withColumn(
+        "_hidx",
+        F.regexp_extract("host", r"^h(\d+)\.", 1).cast("int"),
+    ).withColumn(
+        "_page", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    ).filter(
+        (F.lit(step == 1) | (F.col("_hidx") % step == 3))
+        & (F.col("_page") < k)
+    )
+    return picked.select(
+        "url", "host",
+        host_bucket(F.col("host"), 64).alias("host_bucket"),
+        image_id_of(F.col("url")).alias("image_id"),
+    )
+
+
+def rowgroup_histogram(layout: str, hosts: set[str] | None):
+    """(touched, total) row groups whose host [min,max] stats admit any
+    scheduled host — the metadata-level skipping bound. hosts=None
+    means the dense all-hosts schedule (every group touched by
+    definition)."""
+    import pyarrow.parquet as pq
+
+    total = touched = 0
+    srt = sorted(hosts) if hosts is not None else None
+    for pf in pathlib.Path(layout).glob("host_bucket=*/*.parquet"):
+        md = pq.ParquetFile(pf).metadata
+        host_i = next(
+            i for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "host"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(host_i).statistics
+            total += 1
+            if srt is None:
+                touched += 1
+            else:
+                import bisect
+
+                # any scheduled host within [min, max]?
+                lo = bisect.bisect_left(srt, st.min)
+                if lo < len(srt) and srt[lo] <= st.max:
+                    touched += 1
+    return touched, total
+
+
+def time_fetch(spark, scheduled, corpus, reps: int = 2) -> list[float]:
+    from ccrawler_spark.scheduler.fetch import fetch_and_decode
+
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        fetch_and_decode(scheduled, corpus).count()
+        walls.append(round(time.time() - t0, 2))
+    return walls
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ccrawler_spark.fixtures.gen import (
+        ensure_bench_fixtures, ensure_corpus_layout,
+    )
+    from ccrawler_spark.io.corpus_layout import (
+        HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP, pruned_corpus,
+    )
+    from ccrawler_spark.scheduler.cli import build_session
+
+    # 48g: the one-time layout job shuffles the full 13 GB payload
+    # column once (real warehouses run this as a normal batch job with
+    # executor memory to match; the 16g engine default is sized for
+    # per-round work, which never shuffles payloads)
+    spark = build_session(args.cores, driver_mem="48g")
+    fdir = str(ensure_bench_fixtures(spark))
+    t0 = time.time()
+    layout = str(ensure_corpus_layout(spark, fdir))
+    layout_build_s = round(time.time() - t0, 1)
+    flat = spark.read.parquet(f"{fdir}/corpus.parquet")
+
+    out = {"cores": args.cores, "layout_build_s": layout_build_s}
+    for regime, step in (("sparse", 100), ("dense", 1)):
+        sched = scheduled_for_hosts(spark, fdir, step=step, k=200).cache()
+        n = sched.count()
+        hosts = None
+        ids = None
+        if regime == "sparse":
+            hosts = {r["host"] for r in sched.select("host").distinct().collect()}
+            if n <= ID_PUSHDOWN_CAP:
+                ids = {r["image_id"] for r in sched.select("image_id").collect()}
+        buckets = [
+            r["host_bucket"]
+            for r in sched.select("host_bucket").distinct().collect()
+        ]
+        pruned = pruned_corpus(
+            spark, layout, buckets=buckets,
+            hosts=hosts if hosts and len(hosts) <= HOST_PUSHDOWN_CAP else None,
+            ids=ids,
+        )
+        flat_walls = time_fetch(spark, sched, flat)
+        layout_walls = time_fetch(spark, sched, pruned)
+        touched, total = rowgroup_histogram(layout, hosts)
+        out[regime] = {
+            "scheduled_rows": n,
+            "scheduled_hosts": len(hosts) if hosts else "all",
+            "buckets": len(buckets),
+            "flat_wall_s": flat_walls,
+            "layout_wall_s": layout_walls,
+            "speedup_warm": round(flat_walls[-1] / layout_walls[-1], 2),
+            "rowgroups_touched": touched,
+            "rowgroups_total": total,
+            "rowgroup_touch_frac": round(touched / total, 4),
+        }
+        sched.unpersist()
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    with open(REPO / "BENCH" / "fetch_layout.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,15 @@ def write_corpus_layout(
     every file stays internally sorted, so row-group stats remain
     tight regardless of how many files a bucket has.
     """
-    df = corpus.join(url_map.select("image_id", "host"), on="image_id")
+    # shuffle_hash hint: url_map often derives from a tiny dim scan via
+    # explode (fixtures: hosts.parquet → 10^7 URLs), so Catalyst's size
+    # estimate sees the pre-explode bytes and would BROADCAST the full
+    # URL universe — a multi-GB driver build that OOMs the session. The
+    # hash side per shuffle partition is tiny; the corpus never sorts.
+    df = corpus.join(
+        url_map.select("image_id", "host").hint("shuffle_hash"),
+        on="image_id",
+    )
     df = df.withColumn("host_bucket", host_bucket(F.col("host"), buckets))
     salt = umod_long(F.xxhash64("image_id"), 4)
     w = (

@@ -16,7 +16,8 @@ import sys
 import time
 
 
-def build_session(cores: int, shuffle_partitions: int | None = None):
+def build_session(cores: int, shuffle_partitions: int | None = None,
+                  driver_mem: str = "16g"):
     import os
     import pathlib
 
@@ -68,7 +69,7 @@ def build_session(cores: int, shuffle_partitions: int | None = None):
         # pruned fetch path pushes up to HOST/ID_PUSHDOWN_CAP literals
         # against the sorted corpus layout (io/corpus_layout)
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .getOrCreate()
     )

@@ -305,7 +305,23 @@ class CrawlEngine:
         # the probe and the delta build each cogroup on host_bucket, so
         # a task holds only its buckets' segments (no driver collect)
         bloom = store.read_bloom_latest(r - 1).cache()
-        fresh = seen_dedup(candidates, seen, conf, bloom)
+        # adaptive probe skip: the bloom is a NEGATIVE-membership fast
+        # path — it only pays when many candidates are new. After a
+        # round that enqueued 0 fresh URLs (saturated frontier: every
+        # discovery already seen, the bench steady state), virtually
+        # every probe answers "maybe seen" and the cogroup shuffle +
+        # Arrow crossing of the full candidate set buys nothing — go
+        # straight to the exact anti-join. Exactness is unaffected
+        # either way (the anti-join is the gate, the bloom a
+        # prefilter); if fresh URLs reappear, n_fresh > 0 flips the
+        # probe back on next round. Driver-side decision from the
+        # committed lineage — no extra job.
+        prev_enqueued = sum(
+            v.get("enqueued", 0) for v in prev["lineage"].values()
+        )
+        fresh = seen_dedup(
+            candidates, seen, conf, bloom if prev_enqueued else None
+        )
         fresh = (
             fresh.withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
@@ -315,19 +331,28 @@ class CrawlEngine:
             .cache()
         )
 
-        # stats next (scheduled already collected above; fresh cached,
-        # denied reads the small last_adds delta): one groupBy-collect
-        # per side, counts derived — so empty deltas are skipped
-        # entirely (a file-less partitioned parquet dir is unreadable,
-        # and empty rounds are normal once the frontier drains). The
-        # collects run concurrently: in local mode the driver's
-        # job/task dispatch loop is a serial bottleneck, so independent
-        # jobs are overlapped from threads.
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_denied = ex.submit(self._bucket_counts, denied)
-            f_fresh = ex.submit(self._bucket_counts, fresh)
-            denied_counts = f_denied.result()
-            fresh_counts = f_fresh.result()
+        # stats next (scheduled already collected above; denied reads
+        # the small last_adds delta): ONE fused groupBy-collect covers
+        # both sides — tagging each with a side marker and aggregating
+        # per (side, host_bucket) replaces two driver job dispatches
+        # with one (the local-mode dispatch loop is serial, and at
+        # design scale it is one fewer stage barrier per round). The
+        # aggregation scans fresh fully, which doubles as the action
+        # that materializes its cache before the parallel write phase.
+        # Counts derived ⇒ empty deltas are skipped entirely (a
+        # file-less partitioned parquet dir is unreadable, and empty
+        # rounds are normal once the frontier drains).
+        tagged = (
+            denied.select("host_bucket").withColumn("_side", F.lit("d"))
+            .unionByName(
+                fresh.select("host_bucket").withColumn("_side", F.lit("f"))
+            )
+        )
+        denied_counts: dict[int, int] = {}
+        fresh_counts: dict[int, int] = {}
+        for row in tagged.groupBy("_side", "host_bucket").count().collect():
+            side = denied_counts if row["_side"] == "d" else fresh_counts
+            side[int(row["host_bucket"])] = int(row["count"])
         n_fetched = sum(sched_counts.values())
         n_denied = sum(denied_counts.values())
         n_fresh = sum(fresh_counts.values())
