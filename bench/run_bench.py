@@ -55,6 +55,15 @@ def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:
 
     spark = build_session(cores)
     fdir = fixture_dir or str(ensure_bench_fixtures(spark))
+    # the design-scale engine runs over the bucket-partitioned /
+    # host-clustered corpus layout (io/corpus_layout); the bench conf
+    # is host-dense so no pruning fires, but the bytes scanned equal
+    # the flat corpus and the measured engine is the one a cluster
+    # would run. Built once by orchestrate()'s 48g pre-gen session
+    # (the one-time payload shuffle needs the bigger heap) and cached.
+    from ccrawler_spark.fixtures.gen import ensure_corpus_layout
+
+    layout = str(ensure_corpus_layout(spark, fdir))
     # snapshot store on tmpfs, like spark.local.dir (cli.build_session):
     # local[N] shares ONE real disk across every worker process, and a
     # previous worker's multi-GB teardown writeback was intermittently
@@ -63,7 +72,8 @@ def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:
     # executor; RAM (125 GB) easily holds the ~4 GB bench store.
     with tempfile.TemporaryDirectory(prefix=f"bench{cores}-",
                                      dir="/dev/shm") as out:
-        engine, store = make_engine(spark, fdir, out, conf=BENCH)
+        engine, store = make_engine(spark, fdir, out, conf=BENCH,
+                                    corpus_layout=layout)
         # seed the frontier with the full universe (design-scale shape:
         # frontier >> per-round fetches)
         seeds = universe_seeds(spark, fdir)
@@ -75,7 +85,7 @@ def worker(cores: int, json_path: str, fixture_dir: str | None) -> None:
         # whole corpus payload column (page cache) and spawn/import the
         # python workers once, untimed
         t0 = time.time()
-        corpus = spark.read.parquet(f"{fdir}/corpus.parquet")
+        corpus = spark.read.parquet(layout)
         corpus.select(F.sum(F.length("bytes"))).collect()
         from ccrawler_spark.scheduler.fetch import fetch_and_decode
 
@@ -116,13 +126,18 @@ def orchestrate(levels=(8, 32)) -> None:
     # pre-generate fixtures once (with a big session) so workers share them
     from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
 
-    if not (FIXTURE_ROOT / "bench" / "_DONE_FULL").exists():
+    if not (
+        (FIXTURE_ROOT / "bench" / "_DONE_FULL").exists()
+        and (FIXTURE_ROOT / "bench" / "_LAYOUT_DONE").exists()
+    ):
         from ccrawler_spark.scheduler.cli import build_session
 
-        s = build_session(32)
-        from ccrawler_spark.fixtures.gen import ensure_bench_fixtures
+        s = build_session(32, driver_mem="48g")
+        from ccrawler_spark.fixtures.gen import (
+            ensure_bench_fixtures, ensure_corpus_layout,
+        )
 
-        ensure_bench_fixtures(s)
+        ensure_corpus_layout(s, ensure_bench_fixtures(s))
         s.stop()
     results = {}
     for cores in levels:
@@ -141,15 +156,31 @@ def orchestrate(levels=(8, 32)) -> None:
         )
         for a, b in zip(lv, lv[1:])
     }
+    min_max = (
+        round(
+            (results[lv[-1]]["urls_per_sec"] / results[lv[0]]["urls_per_sec"])
+            / (lv[-1] / lv[0]), 3,
+        )
+        if len(lv) > 1 else None
+    )
     summary = {
         "metric": "frontier dequeue+fetch-schedule throughput",
         "levels": {str(c): results[c]["urls_per_sec"] for c in lv},
-        # the contract's N→4N pair is the SMALLEST adjacent pair (2→8):
+        # the contract's N→4N pair is the FIRST adjacent pair (2→8):
         # the top pair on this single-socket box is memory-bandwidth
-        # bound (see BENCH/BASELINE.md / docs/SCALING.md)
+        # bound (see BENCH/BASELINE.md / docs/SCALING.md). Both the
+        # explicitly-named contract pair and the min→max value are
+        # reported so round-over-round comparisons of either are
+        # apples-to-apples (ADVICE r3).
         "scaling_efficiency": pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
+        "contract_pair_efficiency": pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
+        "min_to_max_efficiency": min_max,
         "pair_efficiencies": pairs,
         "frontier_rows": results[lv[-1]]["frontier_rows"],
+        # snapshot store on tmpfs (/dev/shm): excludes real-disk
+        # persistence cost — a deliberate local-mode control, disclosed
+        # here so JSON consumers see it without reading BASELINE.md
+        "store": "tmpfs:/dev/shm (excludes real-disk persistence cost)",
     }
     with open(bench_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=1)
