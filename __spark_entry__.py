@@ -261,6 +261,22 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+def q_ann_cosine_topk_ivf_trained(spark, sf_dir):
+    """IVF-flat ANN with Lloyd-trained (spherical k-means) centroids —
+    rows-only check: iterative float means are not literal-expressible
+    SQL, so there is no DuckDB twin; recall ≥ hash-baseline is pinned
+    in tests/test_textops.py."""
+    from ccrawler_spark.textops.similarity import (
+        ann_topk_ivf, ivf_train_kmeans,
+    )
+
+    emb = _embs(spark, sf_dir)
+    cents = ivf_train_kmeans(emb, dim=EMB_DIM, n_cells=64, n_iters=2)
+    return ann_topk_ivf(
+        emb, QUERY_VEC, k=10, n_cells=64, n_probe=8, centroids=cents
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """SRP-bucketed cosine near-dup pairs — rows-only check."""
     from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
@@ -335,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
+        "ann_cosine_topk_ivf_trained": q_ann_cosine_topk_ivf_trained,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_pairs": q_simhash_near_pairs,
         "phash_near_pairs": q_phash_near_pairs,

@@ -213,15 +213,27 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 64,
     DuckDB's ``list_position(dl, list_max(dl))`` ties-to-smallest-cell
     rule. The float32 input is cast to float64 BEFORE the multiply
     (DOUBLE[] twin semantics, see ``_dot``)."""
+    return assign_cells(
+        embeddings, ivf_centroids(dim, n_cells), id_col, vec_col
+    )
+
+
+def assign_cells(embeddings: DataFrame, centroids: list[list[float]],
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) for an arbitrary centroid table — the shared
+    assignment core of ``ivf_assign`` (hash-derived baseline) and
+    ``ivf_train_kmeans`` (trained centroids). See ``ivf_assign`` for
+    the bit-identity argument."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
-    cents = ivf_centroids(dim, n_cells)
+    dim = len(centroids[0])
 
     def assign(batches):
         import numpy as np
         import pandas as pd
 
-        C = np.array(cents, dtype=np.float64).T  # (dim, n_cells)
+        C = np.array(centroids, dtype=np.float64).T  # (dim, n_cells)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -240,21 +252,75 @@ def ivf_assign(embeddings: DataFrame, dim: int, n_cells: int = 64,
     return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
+def ivf_train_kmeans(embeddings: DataFrame, dim: int, n_cells: int = 64,
+                     n_iters: int = 5, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical Lloyd k-means over the corpus — the trained upgrade of
+    the hash-derived ``ivf_centroids`` baseline (VERDICT r3 #8 / the
+    documented "k-means as a persisted dim table" path).
+
+    Each iteration is two Spark jobs: the vectorized ``assign_cells``
+    pass (argmax dot — spherical assignment, since centroids are kept
+    unit-norm) and a per-(cell, component) mean via posexplode +
+    groupBy; the n_cells × dim aggregate (≤ 4096 rows at the defaults)
+    collects to the driver, is re-normalized, and feeds the next
+    iteration — exactly the "centroids are a small dim table, the data
+    never re-shuffles by cell" shape that scales: each iteration moves
+    O(N × dim) 8-byte partial-sum updates through one hash aggregate,
+    never vectors through a join. Empty cells keep their previous
+    centroid (standard Lloyd fallback). At warehouse scale the result
+    is persisted and reused by every query; training runs on a sample.
+    Not an oracle-gated operator (iterative float means are not
+    literal-expressible SQL) — quality is pinned by
+    tests/test_textops.py: trained cells must not lose recall vs the
+    hash baseline on clustered data."""
+    cents = ivf_centroids(dim, n_cells)
+    for _ in range(n_iters):
+        assigned = assign_cells(embeddings, cents, id_col, vec_col)
+        comp = (
+            embeddings.select(id_col, vec_col)
+            .join(assigned, on=id_col)
+            .select("cell", F.posexplode(vec_col).alias("_d", "_x"))
+            .groupBy("cell", "_d")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .collect()
+        )
+        means: dict[int, list[float]] = {}
+        for row in comp:
+            means.setdefault(int(row["cell"]), [0.0] * dim)[int(row["_d"])] = (
+                float(row["_m"])
+            )
+        new_cents = []
+        for c in range(n_cells):
+            if c in means:
+                v = means[c]
+                n = sum(x * x for x in v) ** 0.5
+                new_cents.append([x / n for x in v] if n > 0 else cents[c])
+            else:
+                new_cents.append(cents[c])
+        cents = new_cents
+    return cents
+
+
 def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  n_cells: int = 64, n_probe: int = 8,
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-flat approximate top-k: score only vectors whose coarse cell
     is among the query's n_probe nearest centroids. At 100 TB the cell
     column is precomputed and the table partitioned by it, so a query
-    scans n_probe/n_cells of the corpus; here assignment runs inline."""
+    scans n_probe/n_cells of the corpus; here assignment runs inline.
+    ``centroids`` defaults to the hash-derived training-free baseline
+    (literal-expressible → DuckDB-gated); pass ``ivf_train_kmeans``
+    output for the trained variant."""
     dim = len(query_vec)
-    cents = ivf_centroids(dim, n_cells)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
     qd = [
         (sum(q * x for q, x in zip(query_vec, c)), i)
         for i, c in enumerate(cents)
     ]
     probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:n_probe]]
-    assigned = ivf_assign(embeddings, dim, n_cells, id_col)
+    assigned = assign_cells(embeddings, cents, id_col)
     cands = embeddings.join(
         assigned.filter(F.col("cell").isin(probe)).select(id_col), on=id_col
     )

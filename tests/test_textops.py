@@ -211,3 +211,30 @@ def test_near_pairs_exact_cluster_survives_band_cap(spark):
     # the banding sees 2 DISTINCT fingerprints — far under the cap
     assert near == {(i, 100) for i in range(n_dup)}
     assert len(pairs) == len(exact) + len(near)
+
+
+def test_ivf_kmeans_trained_centroids(spark):
+    """Lloyd-trained centroids: unit-norm, and the probe recall on
+    clustered data is at least the hash-baseline's (trained cells
+    align with the planted clusters, so the cluster survives probing
+    even with fewer probes)."""
+    import math
+
+    from ccrawler_spark.textops.similarity import (
+        ann_topk_bruteforce, ann_topk_ivf, ivf_train_kmeans,
+    )
+
+    emb = _planted_embeddings(spark)
+    cents = ivf_train_kmeans(emb, dim=32, n_cells=16, n_iters=3)
+    assert len(cents) == 16 and all(len(c) == 32 for c in cents)
+    for c in cents:
+        assert math.isclose(sum(x * x for x in c), 1.0, rel_tol=1e-9)
+    query = emb.filter("vec_id = 0").first()["embedding"]
+    exact = [r["vec_id"] for r in ann_topk_bruteforce(emb, query, 3).collect()]
+    trained = [
+        r["vec_id"]
+        for r in ann_topk_ivf(
+            emb, query, 3, n_cells=16, n_probe=2, centroids=cents
+        ).collect()
+    ]
+    assert set(trained) == set(exact) == {0, 1, 2}
