@@ -16,7 +16,7 @@ doc_id) triples only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import phash60
@@ -165,12 +165,7 @@ def lsh_candidate_pairs(
     """
     sigs = minhash_signatures(docs, n_hashes)
     banded = lsh_band_buckets(sigs, n_hashes, n_bands)
-    w = Window.partitionBy("band", "bucket")
-    capped = (
-        banded.withColumn("_bn", F.count("*").over(w))
-        .filter(F.col("_bn") <= bucket_cap)
-        .drop("_bn")
-    )
+    capped = _drop_overfull(banded, ["band", "bucket"], bucket_cap)
     a = capped.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = capped.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     pairs = (
@@ -282,6 +277,22 @@ BAND_CAP = 1024  # drop (band, key) groups larger than this before the
 # DuckDB oracle twin applies the identical collapse + cap.
 
 
+def _drop_overfull(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows of groups larger than ``cap`` — the pre-join hygiene
+    cap, as a broadcast ANTI-join against the (tiny, usually empty)
+    over-cap group list instead of a window: a window partitioned by
+    the group keys shuffles AND sorts the whole frame, while the
+    aggregate is map-side-combined to one row per group and only the
+    over-cap groups — pathological by construction — are broadcast.
+    Semantics identical to the QUALIFY count(*) twin."""
+    over = (
+        df.groupBy(*keys).agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(over), on=keys, how="left_anti")
+
+
 def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
                           out_a: str, out_b: str, n_bands: int,
                           band_bits: int, max_hamming: int,
@@ -296,6 +307,15 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
     duplicate clusters collide there — its output is exactly the
     intra-cluster pairs, which are the answer, not noise."""
     members = df.select(F.col(id_col).alias("_id"), F.col(h_col).alias("_h"))
+    # materialize the slim (id, fingerprint) frame ONCE: five plan
+    # branches consume it (exact join ×2, distinct, expansion ×2), and
+    # when Spark broadcasts a branch it re-evaluates the subtree
+    # WITHOUT the reusable exchange — for simhash that re-runs the
+    # interpreted HOF vote pipeline per branch (measured 2.9 → 10.7 s
+    # at sf0.1 without this). localCheckpoint pins the 16-byte rows in
+    # the block manager; at warehouse scale this is the persisted
+    # signature-table stage boundary you would have anyway.
+    members = members.localCheckpoint(eager=True)
     # Hamming-0 pairs: an equi-join on the full fingerprint, no banding,
     # no cap — output size = Σ c·(c-1)/2 over duplicate clusters, which
     # is the result itself (pair semantics), not join-noise blowup
@@ -316,12 +336,7 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
     banded = distinct_h.select(
         "_h", F.posexplode(F.array(*bands)).alias("band", "key")
     )
-    w = Window.partitionBy("band", "key")
-    banded = (
-        banded.withColumn("_bn", F.count("*").over(w))
-        .filter(F.col("_bn") <= band_cap)
-        .drop("_bn")
-    )
+    banded = _drop_overfull(banded, ["band", "key"], band_cap)
     ba = banded.select(F.col("_h").alias("_ha"), "band", "key")
     bb = banded.select(F.col("_h").alias("_hb"), "band", "key")
     hp = (

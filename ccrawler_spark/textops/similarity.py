@@ -9,7 +9,7 @@ the full corpus. Dot products are JVM-side ``F.zip_with`` +
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import phash60_py
@@ -363,14 +363,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     # per pair: at 10^9 vectors that is the difference between O(N)
     # and O(|pairs|) norm computations
     b = srp_buckets(embeddings, dim, n_planes, n_tables, with_norm=True)
-    # pre-join group cap (see SRP_BUCKET_CAP): the windowed count runs on
-    # (id, table, bucket) triples only — never vectors
-    w_cap = Window.partitionBy("table", "bucket")
-    capped = (
-        b.withColumn("_bn", F.count("*").over(w_cap))
-        .filter(F.col("_bn") <= bucket_cap)
-        .drop("_bn")
-    )
+    # materialize the triples ONCE (same rationale as
+    # dedup._banded_hamming_pairs): the cap window + both join sides +
+    # the norms branch consume this frame, and a broadcast branch would
+    # re-run the whole SRP aggregate
+    b = b.localCheckpoint(eager=True)
+    # pre-join group cap (see SRP_BUCKET_CAP) over the id-only triples,
+    # as a broadcast anti-join against the (usually empty) over-cap
+    # group list — no window shuffle/sort (dedup._drop_overfull)
+    from ccrawler_spark.textops.dedup import _drop_overfull
+
+    capped = _drop_overfull(b, ["table", "bucket"], bucket_cap)
     left = capped.select(F.col("vec_id").alias("id_a"), "table", "bucket")
     right = capped.select(F.col("vec_id").alias("id_b"), "table", "bucket")
     pairs = (
