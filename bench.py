@@ -31,7 +31,8 @@ HEADLINE = [
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_near_pairs", "phash_near_pairs", "token_stats",
     "quality_score", "lang_id", "fingerprint", "ann_cosine_topk",
-    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf", "embedding_near_dup",
+    "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
+    "ann_cosine_topk_ivf_trained", "embedding_near_dup",
 ]
 
 
