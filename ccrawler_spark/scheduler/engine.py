@@ -258,8 +258,23 @@ class CrawlEngine:
             last_adds = prev["frontier"].get("last_adds")
             if last_adds:
                 fresh_rows = self.spark.read.parquet(self.store.data_path(last_adds))
+                # a row can be denied ONLY if its host has at least one
+                # disallow rule (allowed = coalesce(match.allow, True),
+                # so all-allow hosts can never produce False) — semi-join
+                # on that tiny broadcast host set before the gate, so the
+                # per-pattern array matching runs over the deniable
+                # fraction of last_adds (10% of hosts in the fixtures),
+                # not all of it. Biggest in round 1, where last_adds is
+                # the whole bootstrap base.
+                deny_hosts = self.robots_active.filter(
+                    F.exists("rules", lambda rr: ~rr["allow"])
+                ).select("host")
                 denied = (
-                    stages.robots_gate(fresh_rows, self.robots_active, conf)
+                    stages.robots_gate(
+                        fresh_rows.join(F.broadcast(deny_hosts), on="host",
+                                        how="left_semi"),
+                        self.robots_active, conf,
+                    )
                     .filter(~F.col("allowed"))
                     .select(*FRONTIER_COLS)
                 )
