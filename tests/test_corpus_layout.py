@@ -127,3 +127,31 @@ def test_row_group_stats_enable_skipping(spark, tiny_fixtures):
                 touched += 1
     assert total >= 8  # the knob actually produced many row groups
     assert touched < total  # stats exclude the host from most groups
+
+
+def test_engine_parity_layout_recrawl(spark, tiny_fixtures, layout_dir):
+    """Recrawl mode re-schedules fetched URLs (due predicate); the
+    pruned fetch path must stay byte-neutral there too."""
+    from ccrawler_spark.conf import CrawlConf
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    conf = CrawlConf(round_budget=50, recrawl_interval_micros=90_000_000)
+    stores = []
+    for lay in (None, layout_dir):
+        out = tempfile.mkdtemp(prefix="layout-recrawl-")
+        engine, store = make_engine(
+            spark, str(tiny_fixtures), out, conf=conf, corpus_layout=lay
+        )
+        engine.bootstrap(spark.read.parquet(f"{tiny_fixtures}/seeds.parquet"))
+        for r in range(1, 4):
+            engine.run_round(r)
+        stores.append(store)
+    flat, lay = stores
+    n = flat.latest()
+    assert lay.latest() == n
+    assert _sorted_rows(flat.read_fetch_log(n)) == _sorted_rows(
+        lay.read_fetch_log(n)
+    )
+    assert _sorted_rows(flat.read_frontier(n)) == _sorted_rows(
+        lay.read_frontier(n)
+    )
