@@ -51,6 +51,19 @@ def main() -> int:
         F.pmod("id", F.lit(7))
     ).count().count()
     spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+
+    # spawn the Arrow Python workers once (daemon fork + numpy import
+    # per worker, ~2 s across 32 slots): a long-lived cluster has warm
+    # workers, so charging the spawn to whichever query happens to
+    # cross into Python first would misattribute startup as query cost
+    def _touch(batches):
+        import numpy  # noqa: F401 — preload into the worker
+
+        yield from batches
+
+    spark.range(10_000).repartition(CPUS).mapInPandas(
+        _touch, "id long"
+    ).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()

@@ -127,49 +127,72 @@ def srp_buckets(embeddings: DataFrame, dim: int, n_planes: int = 8,
     DOUBLE[]), plane)``.
 
     ``with_norm=True`` additionally emits ``_n2`` = Σ x² (same
-    sequential-sum bits), computed in the same aggregate — callers that
+    sequential-sum bits), computed in the same pass — callers that
     need per-vector norms (embedding_near_dup_pairs) get them without a
     second scan of the embeddings. ``_n2`` is identical on each of a
-    vector's n_tables rows."""
-    spark = embeddings.sparkSession
-    planes = {
-        t: _hyperplanes(dim, n_planes, t) for t in range(n_tables)
-    }
-    rows = [
-        (t, p, d, float(planes[t][p][d]))
-        for t in range(n_tables)
-        for p in range(n_planes)
-        for d in range(dim)
-    ]
-    ptbl = spark.createDataFrame(rows, "table int, p int, _d int, coef double")
-    exploded = embeddings.select(
-        id_col, F.posexplode(vec_col).alias("_d", "_x")
+    vector's n_tables rows.
+
+    Round-4 note: the plan moved from the dim-table join-aggregate
+    (posexplode ⋈ broadcast plane table ⋈ groupBy — the round-3 fix
+    for the literal-matrix Catalyst blowup) to a vectorized Arrow
+    batch, the same shape as ``assign_cells``: the N × dim × (planes+1)
+    row blowup through the hash aggregate was the dominant cost of
+    ``embedding_near_dup`` at any sf. The numpy accumulation loops
+    over components, so every dot (and Σ x²) remains the sequential
+    left-to-right float64 sum the DuckDB twin computes — the gate's
+    value-hash verifies the bit-identity."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
     )
-    xd = F.col("_x").cast("double")  # cast BEFORE multiply (DOUBLE[] twin)
-    dots = [
-        F.sum(F.when(F.col("p") == i, xd * F.col("coef"))).alias(f"_dot_{i}")
-        for i in range(n_planes)
+
+    planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+
+    def bucketize(batches):
+        import numpy as np
+        import pandas as pd
+
+        # (dim, n_tables * n_planes), column t*n_planes+p = plane p of
+        # table t
+        C = np.array(
+            [planes[t][p] for t in range(n_tables) for p in range(n_planes)],
+            dtype=np.float64,
+        ).T
+        weights = np.array([1 << p for p in range(n_planes)], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            acc = np.zeros((n, C.shape[1]), dtype=np.float64)
+            n2 = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                x = V[:, d]
+                acc += x[:, None] * C[d]
+                n2 += x * x
+            # bucket bit p of table t = [dot > 0]
+            bits = (acc > 0).reshape(n, n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype("int32")
+            out = {
+                id_col: pdf[id_col].repeat(n_tables).reset_index(drop=True),
+                "table": np.tile(
+                    np.arange(n_tables, dtype="int32"), n
+                ),
+                "bucket": buckets.reshape(-1),
+            }
+            if with_norm:
+                out["_n2"] = np.repeat(n2, n_tables)
+            yield pd.DataFrame(out)
+
+    fields = [
+        embeddings.schema[id_col],
+        StructField("table", IntegerType()),
+        StructField("bucket", IntegerType()),
     ]
     if with_norm:
-        # p == 0 restricts to one row per (table, component): Σ x² in
-        # component order, independent of the plane coefficients
-        dots.append(F.sum(F.when(F.col("p") == 0, xd * xd)).alias("_n2"))
-    agg = (
-        exploded.join(F.broadcast(ptbl), on="_d")
-        .groupBy(id_col, "table")
-        .agg(*dots)
+        fields.append(StructField("_n2", DoubleType()))
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, StructType(fields)
     )
-    bucket = sum(
-        (
-            F.when(F.col(f"_dot_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            for i in range(n_planes)
-        ),
-        start=F.lit(0),
-    ).cast("int")
-    out_cols = [id_col, "table", bucket.alias("bucket")]
-    if with_norm:
-        out_cols.append("_n2")
-    return agg.select(*out_cols)
 
 
 def ivf_centroids(dim: int, n_cells: int = 64) -> list[list[float]]:
