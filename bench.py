@@ -67,8 +67,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        # count() forces full execution without driver-side collect cost
-        qs[name](spark, SF_DIR).count()
+        # noop sink: materializes EVERY produced column without driver
+        # collect or disk IO. count() (rounds 1-3) let Catalyst prune
+        # computed output columns, understating any query whose cost is
+        # in what it produces (simhash measured 0.4 s via count vs
+        # ~2.8 s fully materialized — VERDICT r3 "honesty nit"). Totals
+        # are therefore not comparable to BENCH_r0{1..3}; the metric
+        # string marks the protocol change.
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     # one full scheduling round of the crawl engine on the tiny fixture
@@ -95,7 +101,8 @@ def main() -> int:
     except ValueError:
         sf = SF_DIR
     print(json.dumps({
-        "metric": "headline query suite + one crawl round, wall seconds",
+        "metric": "headline query suite (noop-sink full materialization,"
+                  " r4 protocol) + one crawl round, wall seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
