@@ -229,38 +229,48 @@ def simhash64(docs: DataFrame) -> DataFrame:
     """SimHash over whitespace tokens: bit b of the fingerprint is the
     sign of Σ_tokens (±1 by bit b of phash60(token)).
 
-    Single traversal: one aggregate pass accumulates all 60 bit votes
-    at once (zip_with against a literal powers-of-two array; the bit
-    test is ``h & 2^b``, pure int64 — no float division anywhere),
-    then one final pass folds signs into the fingerprint. The token
-    hashes are materialized once behind a slim exchange — the naive
-    60-separate-aggregates form re-evaluates the md5-per-token
-    pipeline per bit (interpreted HOFs get no common-subexpression
-    elimination; same pathology as minhash_signatures, see there)."""
-    toks = tokens_col(F.col("text"))
-    th = F.transform(toks, lambda t: phash60(t))
-    hashed = docs.select("doc_id", th.alias("_th")).repartition("doc_id")
+    Vectorized Arrow path (round 4): the previous single-pass
+    aggregate form was the best *JVM* shape (one traversal, 60 votes
+    at once, token hashes pinned behind a slim exchange), but Spark
+    evaluates higher-order lambdas interpreted (CodegenFallback) at
+    ~µs/element — the 60-bit vote fold was the whole query's cost
+    (measured ~2.0 s fully materialized at sf0.1; ~0.3 s here). Per
+    batch, token hashing uses the portable md5-60 (``phash60_py`` —
+    bit-identical to the JVM/DuckDB ``phash60`` by test_hashing) and
+    the vote matrix is one numpy (tokens × 60) reduction per doc —
+    integer ops, exact.
 
-    powers = F.array(
-        *[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)]
+    Tokenization parity with ``tokens_col`` (and the DuckDB twin) is
+    deliberate and tested by the value-hash gate: ASCII-only ``\\s``
+    (Java regex semantics, not Python's Unicode default), trim of
+    SPACES only (Spark/DuckDB ``trim`` strips 0x20, not all
+    whitespace), and Java's limit=-1 split (leading/trailing empty
+    tokens kept)."""
+
+    def sh(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from ccrawler_spark.textops.hashing import phash60_py
+
+        ws = re.compile(r"\s+", re.ASCII)
+        bitpos = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                toks = ws.split(text.strip(" "))
+                hs = np.fromiter(
+                    (phash60_py(t) for t in toks), np.int64, len(toks)
+                )
+                votes = (2 * ((hs[:, None] >> bitpos) & 1) - 1).sum(axis=0)
+                out[i] = ((votes > 0).astype(np.int64) << bitpos).sum()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sh, "doc_id long, simhash long"
     )
-    votes = F.aggregate(
-        F.col("_th"),
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc, powers,
-            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            votes, powers,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 BAND_CAP = 1024  # drop (band, key) groups larger than this before the
@@ -397,9 +407,10 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     exactly; (band, key) groups above ``band_cap`` *distinct*
     fingerprints are dropped before the join (see BAND_CAP; the DuckDB
     twin collapses and caps in lockstep)."""
-    # exchange barrier: 4 band accesses would otherwise each re-inline
-    # the whole simhash vote pipeline (no CSE in interpreted HOFs)
-    sh = simhash64(docs).repartition("doc_id")
+    # no exchange barrier needed: _banded_hamming_pairs pins the
+    # (id, fingerprint) frame with a localCheckpoint, so the Arrow
+    # simhash pass runs exactly once regardless of plan branches
+    sh = simhash64(docs)
     return _banded_hamming_pairs(
         sh, "doc_id", "simhash", out_a="doc_a", out_b="doc_b",
         n_bands=4, band_bits=15, max_hamming=max_hamming,
