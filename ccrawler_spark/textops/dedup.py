@@ -83,31 +83,57 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     (h0 = phash60(shingle) mod M), then 16 universal-hash mixes
     sig_i = min over shingles of (a_i·h0 + b_i) mod M.
 
-    Two projections split by a slim exchange, deliberately: higher-
-    order functions evaluate interpreted (CodegenFallback) and Spark
-    performs no common-subexpression elimination across project items
-    there, so putting h0s and the 16 mixes in ONE projection
-    re-evaluates the shingle→md5 pipeline once per mix — measured 16×
-    the work (108 s vs ~8 s for 5 000 docs single-core). The exchange
-    materializes the shingle-hash array exactly once (~8 B per
-    shingle, far smaller than the text it came from) and spreads
-    single-file corpora across cores; the mixes then iterate the
-    materialized attribute. At warehouse scale this shuffle is the
-    \"signature build\" stage boundary you would have anyway."""
-    h0s = F.transform(
-        word_shingles(F.col("text")),
-        lambda s: F.pmod(phash60(s), F.lit(MINHASH_M)),
-    )
-    hashed = docs.select("doc_id", h0s.alias("_h0s")).repartition("doc_id")
+    Vectorized Arrow path (round 4, same migration as ``simhash64``):
+    the previous two-projection JVM form was the best Catalyst shape —
+    a slim exchange pinning the shingle-hash array so the interpreted
+    HOF mixes would not re-run the md5 pipeline 16× — but the mixes
+    themselves still evaluated interpreted at ~µs/element (measured
+    ~2.1 s fully materialized at sf0.1; ~0.5 s here). Per batch, the
+    shingle set is built with the exact ``word_shingles`` semantics
+    (ASCII tokenization parity — see ``simhash64``; k-word join,
+    first-occurrence distinct, ``[w[0]]`` when n < k), hashed with the
+    portable md5-60, and all 16 mixes + mins are one (shingles × 16)
+    int64 matrix op — products stay < 2^62, so numpy int64 equals the
+    JVM/DuckDB BIGINT arithmetic bit-for-bit (the value-hash gate
+    pins it)."""
+    params = [minhash_mix_params(i) for i in range(n_hashes)]
 
-    def mix(i: int):
-        a, b = minhash_mix_params(i)
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_M))
+    def mh(batches):
+        import re
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("_h0s"), mix(i))) for i in range(n_hashes)]
+        import numpy as np
+        import pandas as pd
+
+        from ccrawler_spark.textops.hashing import phash60_py
+
+        ws = re.compile(r"\s+", re.ASCII)
+        a = np.array([p[0] for p in params], dtype=np.int64)
+        b = np.array([p[1] for p in params], dtype=np.int64)
+        k = SHINGLE_K
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                toks = ws.split(text.strip(" "))
+                if len(toks) >= k:
+                    sh = dict.fromkeys(
+                        " ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)
+                    )
+                else:
+                    sh = [toks[0]]
+                h0 = np.fromiter(
+                    (phash60_py(s) % MINHASH_M for s in sh),
+                    np.int64, len(sh),
+                )
+                sigs.append(((h0[:, None] * a + b) % MINHASH_M).min(axis=0))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "sig": [s.tolist() for s in sigs],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        mh, "doc_id long, sig array<long>"
     )
-    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def lsh_band_buckets(
@@ -115,19 +141,11 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """(doc_id, band, bucket): each signature hashed per band of
     r = n_hashes/n_bands rows. Ids only — no signature arrays ride
-    any downstream shuffle.
-
-    The repartition below is load-bearing, not a tuning knob: without
-    an exchange, CollapseProject inlines the whole minhash expression
-    tree into every per-element ``sig[i]`` access (generators do no
-    common-subexpression elimination), re-evaluating the
-    shingle→md5→mix pipeline up to n_hashes× per band column —
-    measured 109 s for 5 000 docs vs 1.6 s with the barrier. The
-    exchange materializes each signature exactly once (8 B id + 128 B
-    array per doc) and simultaneously spreads single-file corpora
-    across all cores."""
+    any downstream shuffle. (The round-1 exchange barrier here is
+    gone: signatures now arrive from ``minhash_signatures``'s Arrow
+    pass — materialized data, not an inlinable expression tree — and
+    ``lsh_candidate_pairs`` checkpoints them anyway.)"""
     r = n_hashes // n_bands
-    sigs = sigs.repartition("doc_id")
     band_cols = [
         phash60(
             F.concat_ws(
