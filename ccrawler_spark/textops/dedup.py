@@ -2,16 +2,18 @@
 
 Exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
 SimHash, and n-gram Jaccard — all over a ``documents``-shaped table
-(doc_id, text, ...). Every operator is pure DataFrame/Catalyst (scalar
-array lambdas — array_min/transform/aggregate — plus deliberate slim
-exchanges that materialize per-doc hash arrays exactly once: Spark
-evaluates higher-order functions interpreted, with no common-
-subexpression elimination, so a hash array referenced N times in one
-projection is recomputed N times unless an exchange pins it — see
-minhash_signatures). No shuffle ever carries document text: the
-heaviest shuffled payload is the 128-byte signature / 8-byte-per-
-shingle hash array, and the LSH self-join moves (band, bucket,
-doc_id) triples only.
+(doc_id, text, ...). The fingerprint builds (minhash, simhash) are
+vectorized Arrow batches — Spark evaluates higher-order lambdas
+interpreted (CodegenFallback, no common-subexpression elimination),
+so the per-token/per-shingle hash-and-fold pipelines cost µs/element
+JVM-side versus one numpy matrix op per doc in the Arrow pass; both
+use the portable md5-60 and exact JVM-tokenization parity, so the
+DuckDB twins stay value-hash-equal (see simhash64 for the parity
+rules). Everything downstream is DataFrame/Catalyst. No shuffle ever
+carries document text: the heaviest shuffled payload is the 128-byte
+signature, and the banded self-joins move (band, bucket, id) triples
+only, capped via broadcast anti-joins against the over-cap group
+lists.
 """
 
 from __future__ import annotations
