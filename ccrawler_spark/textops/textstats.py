@@ -1,10 +1,12 @@
 """Text analysis for training-data pipelines: token counting, quality
 scoring, language-ID heuristic, document fingerprinting.
 
-Every operator is scalar Catalyst expressions (regexp/length/array
-lambdas) — zero shuffles, fully pipelined with the scan, and each has
-an exact DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` so the
-driver's correctness gate checks values, not just row counts.
+token_stats / quality_score / lang_id are scalar Catalyst
+expressions (regexp/length/array lambdas) — zero shuffles, fully
+pipelined with the scan; ``fingerprint`` is a vectorized Arrow batch
+(see its docstring). Each has an exact DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` so the driver's correctness gate checks
+values, not just row counts.
 """
 
 from __future__ import annotations
@@ -13,7 +15,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
-from .hashing import phash60
 
 # fixed stopword list shared with the SQL oracle
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -107,28 +108,41 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Content fingerprints: whole-text portable hash + a rolling-window
     fingerprint (min hash over 8-token windows — a winnowing-style
-    selector that survives small edits at either end)."""
-    # content_hash and the token array are computed pre-exchange so (a)
-    # the raw text never rides a shuffle and (b) the window expression's
-    # 8 element_at references hit a materialized attribute instead of
-    # re-inlining the tokenizer per reference (no CSE in interpreted
-    # HOFs — see dedup.minhash_signatures)
-    base = docs.select(
-        "doc_id",
-        phash60(F.col("text")).alias("content_hash"),
-        tokens_col(F.col("text")).alias("_toks"),
-    ).repartition("doc_id")
-    toks = F.col("_toks")
-    n = F.size(toks)
-    win = 8
-    idx = F.sequence(F.lit(0), F.greatest(n - win, F.lit(0)))
-    windows = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(win)]
-        ),
-    )
-    rolling = F.array_min(F.transform(windows, lambda s: phash60(s)))
-    return base.select(
-        "doc_id", "content_hash", rolling.alias("rolling_min_hash")
+    selector that survives small edits at either end).
+
+    Vectorized Arrow path (round 4, same migration and tokenization-
+    parity rules as ``dedup.simhash64``): the JVM form needed an
+    exchange to pin the token array and still folded the 8-element
+    window concat per position through interpreted HOFs. One Arrow
+    crossing, zero exchanges; the n < 8 edge matches ``concat_ws``'s
+    null-skipping exactly (a short doc's single window is the join of
+    whatever tokens exist). The value-hash gate pins parity."""
+
+    def fp(batches):
+        import re
+
+        import pandas as pd
+
+        from ccrawler_spark.textops.hashing import phash60_py
+
+        ws = re.compile(r"\s+", re.ASCII)
+        win = 8
+        for pdf in batches:
+            ch, rmh = [], []
+            for text in pdf["text"]:
+                ch.append(phash60_py(text))
+                toks = ws.split(text.strip(" "))
+                n = len(toks)
+                rmh.append(min(
+                    phash60_py(" ".join(toks[i:i + win]))
+                    for i in range(max(n - win, 0) + 1)
+                ))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content_hash": ch,
+                "rolling_min_hash": rmh,
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fp, "doc_id long, content_hash long, rolling_min_hash long"
     )

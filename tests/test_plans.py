@@ -85,13 +85,11 @@ def test_textops_scalar_zero_shuffle(spark):
 
 
 def test_textops_hashing_plan_shapes(spark):
-    """Fingerprint builds: the Arrow operators (minhash, simhash —
-    vectorized in r4 because interpreted HOF folds cost µs/element)
-    must be exactly ONE Arrow crossing with ZERO exchanges — the
+    """Fingerprint builds (minhash, simhash, rolling-min fingerprint —
+    all vectorized in r4 because interpreted HOF folds cost
+    µs/element): exactly ONE Arrow crossing with ZERO exchanges — the
     fingerprint is computed in the scan's partitions and nothing else
-    moves. ``fingerprint`` (rolling-min, still JVM) keeps the single
-    deliberate slim exchange that pins its hash array against HOF
-    re-evaluation, with no Python eval."""
+    moves."""
     from ccrawler_spark.textops.dedup import minhash_signatures, simhash64
     from ccrawler_spark.textops.textstats import fingerprint
 
@@ -99,13 +97,10 @@ def test_textops_hashing_plan_shapes(spark):
         [(1, "a b c d e f g h i j", "en", "s", 10)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    for op in (minhash_signatures, simhash64):
+    for op in (minhash_signatures, simhash64, fingerprint):
         plan = plan_of(op(docs), mode="simple")
         assert plan.count("Exchange") == 0, f"{op.__name__}:\n{plan[:800]}"
         assert plan.count("MapInPandas") == 1, f"{op.__name__}:\n{plan[:800]}"
-    plan = plan_of(fingerprint(docs), mode="simple")
-    assert plan.count("Exchange") == 1, f"fingerprint:\n{plan[:800]}"
-    assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_dequeue_exchange_budget(spark):
