@@ -220,9 +220,22 @@ def lsh_candidate_pairs(
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates: join texts back for the
     candidate pairs only (never all-pairs), compute
-    |A∩B| / |A∪B| on distinct shingle sets."""
-    cands = lsh_candidate_pairs(docs)
-    sh = docs.select(
+    |A∩B| / |A∪B| on distinct shingle sets.
+
+    The shingle build is restricted to the candidate-pair MEMBERS via a
+    broadcast semi-join before the per-doc shingle expression runs —
+    O(|pairs|) shingle computations, not O(N): at 10⁹ docs with a few
+    million candidate pairs that is the difference between re-shingling
+    the corpus and touching 0.1 % of it. The candidate frame is pinned
+    (localCheckpoint) because three branches consume it (member-id set
+    + both join sides) and it is itself a multi-stage plan."""
+    cands = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
+    member_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(F.broadcast(member_ids), on="doc_id").select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     )
     j = (
