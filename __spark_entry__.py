@@ -5,7 +5,9 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. Every query has a DuckDB oracle (25/25 value-checked): the
+cleanly. 26 queries, 25 with a DuckDB oracle (value-checked; the one
+exception, trained-IVF ANN, is rows-only by declared necessity — see
+its docstring): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
 banding) are deterministic — their hyperplanes, rings and bands are
 literal-expressible — so the twin reproduces them exactly; semantic
@@ -278,7 +280,10 @@ def q_ann_cosine_topk_ivf_trained(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """SRP-bucketed cosine near-dup pairs — rows-only check."""
+    """SRP-bucketed cosine near-dup pairs — value-hash-checked: the
+    hyperplanes, OR-amplified tables, and the SRP_BUCKET_CAP pruning
+    are deterministic and literal-expressible, so the DuckDB twin
+    reproduces the pair set exactly."""
     from ccrawler_spark.textops.similarity import embedding_near_dup_pairs
 
     # n_planes=10: 1024 buckets/table suits the ~10^3-10^4-vector
@@ -289,7 +294,9 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """Banded simhash near-dups — rows-only check."""
+    """Banded simhash near-dups — value-hash-checked: the band split,
+    identical-fingerprint collapse and BAND_CAP are deterministic, so
+    the DuckDB twin reproduces the pair set exactly."""
     from ccrawler_spark.textops.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=10)

@@ -253,6 +253,16 @@ def ensure_corpus_layout(spark, fdir) -> pathlib.Path:
     fdir = pathlib.Path(fdir)
     out = fdir / "corpus_layout"
     if (fdir / "_LAYOUT_DONE").exists():
+        # backfill the metadata sidecar for layouts cached before it
+        # existed — this function has only ever written buckets=64
+        from ccrawler_spark.io.corpus_layout import (
+            read_layout_meta, write_layout_meta,
+        )
+
+        if read_layout_meta(str(out)) is None:
+            from ccrawler_spark.io.corpus_layout import ROW_GROUP_BYTES
+
+            write_layout_meta(str(out), 64, ROW_GROUP_BYTES)
         return out
     corpus = spark.read.parquet(str(fdir / "corpus.parquet"))
     urls = universe_urls_df(spark, str(fdir))

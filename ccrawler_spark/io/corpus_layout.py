@@ -44,10 +44,21 @@ touch histogram live in docs/SCALING.md (finding 8, updated r4).
 
 from __future__ import annotations
 
+import json
+import pathlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ccrawler_spark.functions.spark_exprs import host_bucket, umod_long
+
+# layout metadata sidecar, written next to the parquet partitions. The
+# leading underscore keeps every reader (Spark's parquet source, pyarrow
+# datasets) from treating it as data. It pins the parameters the pruned
+# read DEPENDS on: a reader filtering host_bucket with a different
+# bucket count than the writer silently drops rows (ADVICE r4, medium).
+META_FILE = "_layout_meta.json"
+CLUSTER_KEYS = ["host_bucket", "host", "image_id"]
 
 # pushdown caps (physical planning only — results are identical with or
 # without pruning, so these are module constants, not CrawlConf fields):
@@ -101,6 +112,46 @@ def write_corpus_layout(
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.partitionBy("host_bucket").parquet(path)
+    write_layout_meta(path, buckets, row_group_bytes)
+
+
+def write_layout_meta(path: str, buckets: int,
+                      row_group_bytes: int | None) -> None:
+    meta = {"buckets": int(buckets), "cluster_keys": CLUSTER_KEYS,
+            "row_group_bytes": row_group_bytes}
+    (pathlib.Path(path) / META_FILE).write_text(json.dumps(meta))
+
+
+def read_layout_meta(path: str) -> dict | None:
+    """Layout metadata, or None for a pre-metadata (legacy) layout."""
+    p = pathlib.Path(path) / META_FILE
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def assert_layout_compatible(path: str, host_buckets: int) -> None:
+    """Fail loudly before any round runs if the layout's bucketing does
+    not match the engine conf: a mismatched ``host_bucket`` partition
+    filter in :func:`pruned_corpus` would silently drop scheduled corpus
+    rows — fetches come back ``fetch_ok=false`` and look like legitimate
+    misses (ADVICE r4, medium)."""
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"corpus layout at {path} has no {META_FILE}: cannot verify "
+            f"its bucket count against conf.host_buckets={host_buckets}. "
+            "Rewrite it with write_corpus_layout (which records the "
+            "metadata) before using it for pruned fetches."
+        )
+    if int(meta["buckets"]) != int(host_buckets):
+        raise ValueError(
+            f"corpus layout at {path} was written with "
+            f"buckets={meta['buckets']} but the engine conf has "
+            f"host_buckets={host_buckets}: the partition filter would "
+            "silently drop scheduled corpus rows. Rewrite the layout "
+            "with the conf's bucket count."
+        )
 
 
 def pruned_corpus(

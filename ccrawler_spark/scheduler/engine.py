@@ -73,6 +73,15 @@ class CrawlEngine:
         # scheduled buckets + (when the schedule is host-sparse) pushed
         # host/id filters, instead of scanning the whole payload column
         # every round. Purely physical — fetch results are identical.
+        # Fail loudly up front if the layout's bucketing doesn't match
+        # conf.host_buckets: a mismatched partition filter would silently
+        # drop scheduled rows (ADVICE r4, medium).
+        if corpus_layout is not None:
+            from ccrawler_spark.io.corpus_layout import (
+                assert_layout_compatible,
+            )
+
+            assert_layout_compatible(corpus_layout, conf.host_buckets)
         self.corpus_layout = corpus_layout
         self.hosts = hosts
         self.H = hosts.count()

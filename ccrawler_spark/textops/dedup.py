@@ -29,6 +29,10 @@ N_BANDS = 4  # 4 rows per band: per-band collision prob is J^4, so
 # flooding buckets, while true near-dups (J ≥ 0.8) still collide in
 # ≥1 of 4 bands with P ≈ 0.88-0.999
 SHINGLE_K = 3
+NGRAM_MEMBER_BROADCAST_CAP = 1_000_000  # candidate pairs above which
+# the member-id semi-join in ngram_jaccard_pairs stops broadcasting
+# (≤ 2M distinct 8-byte ids ≈ 16 MB broadcast at the cap; a dup-heavy
+# corpus can push the member set toward O(N), ADVICE r4)
 LSH_BUCKET_CAP = 64  # drop (band, bucket) groups larger than this —
 # standard LSH hygiene: a bucket of size m contributes O(m²) candidate
 # pairs, and pathological buckets (boilerplate, empty docs) otherwise
@@ -106,31 +110,39 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ccrawler_spark.textops.hashing import phash60_py
+        from ccrawler_spark.textops.hashing import phash60_index
 
         ws = re.compile(r"\s+", re.ASCII)
         a = np.array([p[0] for p in params], dtype=np.int64)
         b = np.array([p[1] for p in params], dtype=np.int64)
         k = SHINGLE_K
         for pdf in batches:
-            sigs = []
+            # batch-wide shingle-vocabulary dedup (VERDICT r4 #2): md5
+            # + all 16 mixes run once per DISTINCT shingle in the batch;
+            # each doc then takes column-mins over its shingle rows.
+            # None text → null signature (SQL null propagation,
+            # ADVICE r4).
+            sh_lists = []
             for text in pdf["text"]:
+                if text is None:
+                    sh_lists.append(None)
+                    continue
                 toks = ws.split(text.strip(" "))
                 if len(toks) >= k:
-                    sh = dict.fromkeys(
+                    sh_lists.append(list(dict.fromkeys(
                         " ".join(toks[i:i + k])
                         for i in range(len(toks) - k + 1)
-                    )
+                    )))
                 else:
-                    sh = [toks[0]]
-                h0 = np.fromiter(
-                    (phash60_py(s) % MINHASH_M for s in sh),
-                    np.int64, len(sh),
-                )
-                sigs.append(((h0[:, None] * a + b) % MINHASH_M).min(axis=0))
+                    sh_lists.append([toks[0]])
+            hs, idxs = phash60_index(sh_lists)
+            mixed = ((hs % MINHASH_M)[:, None] * a + b) % MINHASH_M
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "sig": [s.tolist() for s in sigs],
+                "sig": [
+                    None if idx is None else mixed[idx].min(axis=0).tolist()
+                    for idx in idxs
+                ],
             })
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -228,14 +240,25 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
     million candidate pairs that is the difference between re-shingling
     the corpus and touching 0.1 % of it. The candidate frame is pinned
     (localCheckpoint) because three branches consume it (member-id set
-    + both join sides) and it is itself a multi-stage plan."""
+    + both join sides) and it is itself a multi-stage plan.
+
+    The member-id broadcast is size-gated (ADVICE r4): in a dup-heavy
+    corpus the member set approaches O(N) doc_ids, so above
+    ``NGRAM_MEMBER_BROADCAST_CAP`` pairs the semi-join falls back to a
+    shuffle-hash join instead of forcing an unbounded driver broadcast
+    (same gating style as the engine's _pruned_corpus pushdown caps).
+    The count is free — ``cands`` is already checkpointed."""
     cands = lsh_candidate_pairs(docs).localCheckpoint(eager=True)
     member_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = docs.join(F.broadcast(member_ids), on="doc_id").select(
+    if cands.count() <= NGRAM_MEMBER_BROADCAST_CAP:
+        member_ids = F.broadcast(member_ids)
+    else:
+        member_ids = member_ids.hint("shuffle_hash")
+    sh = docs.join(member_ids, on="doc_id").select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     )
     j = (
@@ -286,20 +309,32 @@ def simhash64(docs: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ccrawler_spark.textops.hashing import phash60_py
+        from ccrawler_spark.textops.hashing import phash60_index
 
         ws = re.compile(r"\s+", re.ASCII)
         bitpos = np.arange(SIMHASH_BITS, dtype=np.int64)
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf["text"]):
-                toks = ws.split(text.strip(" "))
-                hs = np.fromiter(
-                    (phash60_py(t) for t in toks), np.int64, len(toks)
+            # batch-wide vocabulary dedup: md5 once per DISTINCT token
+            # (Zipf token streams → ~10× fewer hashes, VERDICT r4 #2);
+            # None text → null fingerprint, matching the SQL twins'
+            # split(trim(NULL)) null propagation (ADVICE r4)
+            tok_lists = [
+                None if text is None else ws.split(text.strip(" "))
+                for text in pdf["text"]
+            ]
+            hs, idxs = phash60_index(tok_lists)
+            signs = 2 * ((hs[:, None] >> bitpos) & 1) - 1  # (V, 60)
+            out = [
+                None if idx is None else int(
+                    ((signs[idx].sum(axis=0) > 0).astype(np.int64)
+                     << bitpos).sum()
                 )
-                votes = (2 * ((hs[:, None] >> bitpos) & 1) - 1).sum(axis=0)
-                out[i] = ((votes > 0).astype(np.int64) << bitpos).sum()
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+                for idx in idxs
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "simhash": pd.array(out, dtype="Int64"),
+            })
 
     return docs.select("doc_id", "text").mapInPandas(
         sh, "doc_id long, simhash long"
@@ -342,7 +377,8 @@ def _drop_overfull(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
 def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
                           out_a: str, out_b: str, n_bands: int,
                           band_bits: int, max_hamming: int,
-                          band_cap: int) -> DataFrame:
+                          band_cap: int,
+                          exact_pairs: str = "all") -> DataFrame:
     """Shared core of phash/simhash near-dup: banded LSH over DISTINCT
     fingerprints + exact-duplicate expansion (see BAND_CAP).
 
@@ -351,7 +387,16 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
     re-attach per pair side afterwards, touching O(|pairs|) rows. The
     exact-dup self-join keys on the full fingerprint, so only true
     duplicate clusters collide there — its output is exactly the
-    intra-cluster pairs, which are the answer, not noise."""
+    intra-cluster pairs, which are the answer, not noise.
+
+    ``exact_pairs`` bounds that output for pathological corpora
+    (ADVICE r4): "all" (default, the oracle-twinned semantics) emits
+    every intra-cluster pair — O(m²) for an m-member identical-
+    fingerprint cluster; "star" emits only (min-member, other) edges —
+    O(m) rows that still connect every member to its cluster, which is
+    all a dedup keep-one pass needs. A crawl corpus where one
+    boilerplate fingerprint covers 10⁷ docs turns 5·10¹³ pairs into
+    10⁷ rows. Callers using "star" must keep any oracle in lockstep."""
     members = df.select(F.col(id_col).alias("_id"), F.col(h_col).alias("_h"))
     # materialize the slim (id, fingerprint) frame ONCE: five plan
     # branches consume it (exact join ×2, distinct, expansion ×2), and
@@ -365,13 +410,30 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
     # Hamming-0 pairs: an equi-join on the full fingerprint, no banding,
     # no cap — output size = Σ c·(c-1)/2 over duplicate clusters, which
     # is the result itself (pair semantics), not join-noise blowup
-    ma = members.select(F.col("_id").alias(out_a), "_h")
-    mb = members.select(F.col("_id").alias(out_b), "_h")
-    exact = (
-        ma.join(mb, on="_h")
-        .filter(F.col(out_a) < F.col(out_b))
-        .select(out_a, out_b, F.lit(0).alias("hamming"))
-    )
+    if exact_pairs == "star":
+        # representative mode: min-member ↔ member edges only (O(m)
+        # per cluster). The aggregate is map-side-combined; the join
+        # back is on the fingerprint, touching only true dup clusters.
+        reps = (
+            members.groupBy("_h")
+            .agg(F.min("_id").alias("_rep"), F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select("_h", "_rep")
+        )
+        exact = (
+            members.join(reps, on="_h")
+            .filter(F.col("_id") != F.col("_rep"))
+            .select(F.col("_rep").alias(out_a), F.col("_id").alias(out_b),
+                    F.lit(0).alias("hamming"))
+        )
+    else:
+        ma = members.select(F.col("_id").alias(out_a), "_h")
+        mb = members.select(F.col("_id").alias(out_b), "_h")
+        exact = (
+            ma.join(mb, on="_h")
+            .filter(F.col(out_a) < F.col(out_b))
+            .select(out_a, out_b, F.lit(0).alias("hamming"))
+        )
     distinct_h = members.select("_h").distinct()
     bands = [
         F.shiftrightunsigned(F.col("_h"), band_bits * b)
@@ -413,7 +475,8 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
 
 def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
                      phash_col: str = "phash", max_hamming: int = 6,
-                     band_cap: int = BAND_CAP) -> DataFrame:
+                     band_cap: int = BAND_CAP,
+                     exact_pairs: str = "all") -> DataFrame:
     """O18 (SURVEY.md §2): perceptual-hash Hamming clustering over the
     corpus — banded LSH on the 64-bit phash (4 bands × 16 bits) so the
     self-join never goes O(n²); exact distance check afterwards with
@@ -426,12 +489,13 @@ def phash_near_pairs(df: DataFrame, id_col: str = "image_id",
     return _banded_hamming_pairs(
         df, id_col, phash_col, out_a="id_a", out_b="id_b",
         n_bands=4, band_bits=16, max_hamming=max_hamming,
-        band_cap=band_cap,
+        band_cap=band_cap, exact_pairs=exact_pairs,
     )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
-                       band_cap: int = BAND_CAP) -> DataFrame:
+                       band_cap: int = BAND_CAP,
+                       exact_pairs: str = "all") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded to avoid the
     O(n²) self-join: 4 bands of 15 bits each — any pair within Hamming
     ≤ 8 of a 60-bit fingerprint shares at least one exact band with
@@ -447,5 +511,5 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8,
     return _banded_hamming_pairs(
         sh, "doc_id", "simhash", out_a="doc_a", out_b="doc_b",
         n_bands=4, band_bits=15, max_hamming=max_hamming,
-        band_cap=band_cap,
+        band_cap=band_cap, exact_pairs=exact_pairs,
     )

@@ -123,24 +123,35 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        from ccrawler_spark.textops.hashing import phash60_py
+        from ccrawler_spark.textops.hashing import phash60_index, phash60_py
 
         ws = re.compile(r"\s+", re.ASCII)
         win = 8
         for pdf in batches:
-            ch, rmh = [], []
+            # batch-wide window-vocabulary dedup (VERDICT r4 #2) —
+            # duplicate/boilerplate docs share windows, so repeated
+            # windows hash once; None text → null outputs (ADVICE r4)
+            ch, win_lists = [], []
             for text in pdf["text"]:
+                if text is None:
+                    ch.append(None)
+                    win_lists.append(None)
+                    continue
                 ch.append(phash60_py(text))
                 toks = ws.split(text.strip(" "))
                 n = len(toks)
-                rmh.append(min(
-                    phash60_py(" ".join(toks[i:i + win]))
+                win_lists.append([
+                    " ".join(toks[i:i + win])
                     for i in range(max(n - win, 0) + 1)
-                ))
+                ])
+            hs, idxs = phash60_index(win_lists)
+            rmh = [
+                None if idx is None else int(hs[idx].min()) for idx in idxs
+            ]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "content_hash": ch,
-                "rolling_min_hash": rmh,
+                "content_hash": pd.array(ch, dtype="Int64"),
+                "rolling_min_hash": pd.array(rmh, dtype="Int64"),
             })
 
     return docs.select("doc_id", "text").mapInPandas(

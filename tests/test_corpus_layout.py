@@ -129,6 +129,46 @@ def test_row_group_stats_enable_skipping(spark, tiny_fixtures):
     assert touched < total  # stats exclude the host from most groups
 
 
+def test_layout_bucket_mismatch_fails_loudly(spark, tiny_fixtures,
+                                             layout_dir):
+    """ADVICE r4 (medium): a layout written with a different bucket
+    count than conf.host_buckets must be rejected at engine init —
+    the mismatched partition filter would otherwise silently drop
+    scheduled corpus rows (fetches would look like legitimate misses)."""
+    import json
+    import shutil
+
+    from ccrawler_spark.conf import CrawlConf
+    from ccrawler_spark.io.corpus_layout import META_FILE, read_layout_meta
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    meta = read_layout_meta(layout_dir)
+    assert meta is not None and meta["buckets"] == 64
+
+    # engine conf with host_buckets != layout buckets → loud failure
+    out = tempfile.mkdtemp(prefix="layout-mismatch-")
+    with pytest.raises(ValueError, match="host_buckets=32"):
+        make_engine(
+            spark, str(tiny_fixtures), out,
+            conf=CrawlConf(host_buckets=32), corpus_layout=layout_dir,
+        )
+
+    # a layout with no metadata sidecar is unverifiable → also loud
+    legacy = tempfile.mkdtemp(prefix="layout-legacy-") + "/layout"
+    shutil.copytree(layout_dir, legacy)
+    (pathlib.Path(legacy) / META_FILE).unlink()
+    with pytest.raises(ValueError, match="no _layout_meta"):
+        make_engine(
+            spark, str(tiny_fixtures), out, size="tiny",
+            corpus_layout=legacy,
+        )
+
+    # matching bucket count passes (and json is well-formed)
+    assert json.loads(
+        (pathlib.Path(layout_dir) / META_FILE).read_text()
+    )["cluster_keys"] == ["host_bucket", "host", "image_id"]
+
+
 def test_engine_parity_layout_recrawl(spark, tiny_fixtures, layout_dir):
     """Recrawl mode re-schedules fetched URLs (due predicate); the
     pruned fetch path must stay byte-neutral there too."""

@@ -238,3 +238,66 @@ def test_ivf_kmeans_trained_centroids(spark):
         ).collect()
     ]
     assert set(trained) == set(exact) == {0, 1, 2}
+
+
+def test_phash60_index_matches_py(spark):
+    """The vocabulary-deduped batch hasher (r5) is bit-identical to the
+    per-string portable hash and preserves occurrence order, including
+    None documents."""
+    from ccrawler_spark.textops.hashing import phash60_index, phash60_py
+
+    lists = [["a", "b", "a", "the quick"], None, ["b"], [""]]
+    hs, idxs = phash60_index(lists)
+    assert idxs[1] is None
+    for lst, idx in zip(lists, idxs):
+        if lst is None:
+            continue
+        assert [int(hs[i]) for i in idx] == [phash60_py(s) for s in lst]
+    # distinct strings hashed once: vocab size == number of distincts
+    assert len(hs) == 4  # a, b, "the quick", ""
+
+
+def test_null_text_propagates_null_fingerprints(spark):
+    """ADVICE r4: a NULL text must not crash the Arrow builds — it
+    yields NULL signature/fingerprint rows, matching the SQL twins'
+    split(trim(NULL)) null propagation."""
+    from ccrawler_spark.textops.dedup import minhash_signatures, simhash64
+    from ccrawler_spark.textops.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "some real text here"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sh[1] is None and sh[0] is not None and sh[2] is not None
+    mh = {r["doc_id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert mh[1] is None and len(mh[0]) == 16
+    fp = {r["doc_id"]: (r["content_hash"], r["rolling_min_hash"])
+          for r in fingerprint(df).collect()}
+    assert fp[1] == (None, None) and fp[0][0] is not None
+
+
+def test_exact_pairs_star_mode(spark):
+    """ADVICE r4: star mode bounds an m-member identical-fingerprint
+    cluster at m-1 edges (vs m(m-1)/2), every member connected to the
+    min-id representative; near (Hamming ≥ 1) pairs are unaffected."""
+    from ccrawler_spark.textops.dedup import phash_near_pairs
+
+    m = 6
+    rows = [(i, 0x0F0F0F0F0F0F0F0) for i in range(m)]  # one dup cluster
+    rows += [(100, 0x7070707070707070), (101, 0x7070707070707073)]  # near
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+
+    allp = phash_near_pairs(df, max_hamming=6).collect()
+    star = phash_near_pairs(df, max_hamming=6, exact_pairs="star").collect()
+    exact_all = [r for r in allp if r["hamming"] == 0]
+    exact_star = [r for r in star if r["hamming"] == 0]
+    assert len(exact_all) == m * (m - 1) // 2
+    assert len(exact_star) == m - 1
+    assert all(r["id_a"] == 0 for r in exact_star)  # min-id representative
+    assert {r["id_b"] for r in exact_star} == set(range(1, m))
+    near_all = sorted((r["id_a"], r["id_b"], r["hamming"])
+                      for r in allp if r["hamming"] > 0)
+    near_star = sorted((r["id_a"], r["id_b"], r["hamming"])
+                       for r in star if r["hamming"] > 0)
+    assert near_all == near_star == [(100, 101, 2)]
