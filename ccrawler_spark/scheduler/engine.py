@@ -293,30 +293,18 @@ class CrawlEngine:
         seq_offset = prev["counters"]["fetched_total"]
         scheduled = stages.with_fetch_sequence(sched0, r, seq_offset).cache()
 
-        # materialize; everything downstream (fetch, discovery, removes)
-        # reuses the cache. The materializing action doubles as the
-        # scheduled-side lineage collect (one job instead of two).
-        sched_counts = self._bucket_counts(scheduled)
-
-        # 6. fetch join + decode invariants (Arrow crossing) — launched
-        # on a driver thread so the decode overlaps the discovery path
-        # below (independent given the scheduled cache)
+        # schedule-metadata collect (lineage counts + layout pushdown
+        # keys, one job — see _sched_metadata) on a pool thread: its
+        # first action materializes the scheduled cache while the MAIN
+        # thread builds the round's remaining plans. Plan construction
+        # is driver-side py4j chatter (hundreds of expression
+        # round-trips, ~2 s/round profiled at r5) that needs only the
+        # DataFrame objects, never the collect results — serializing it
+        # behind the collect was pure added wall.
         from concurrent.futures import ThreadPoolExecutor
 
-        corpus_side = (
-            self._pruned_corpus(scheduled, sched_counts)
-            if self.corpus_layout is not None else self.corpus
-        )
-        fetched = fetch_and_decode(scheduled, corpus_side)
-        fetch_log = fetched.select(
-            "seq", "url", "host", "host_bucket", "slot_ms", "priority",
-            "discover_ts", "depth", "fetch_ok", "pixels_ok", "caption_ok",
-            "phash_ok", "psnr_db",
-        )
-        log_pool = ThreadPoolExecutor(max_workers=1)
-        log_job = log_pool.submit(
-            self.store.write_parquet, fetch_log, "fetch_log", f"round={r}"
-        )
+        pool = ThreadPoolExecutor(max_workers=4)
+        sched_meta = pool.submit(self._sched_metadata, scheduled)
 
         # 7-10. discovery → scope → in-round dedup → seen dedup
         candidates = stages.discover_links(
@@ -355,36 +343,70 @@ class CrawlEngine:
             .cache()
         )
 
-        # stats next (scheduled already collected above; denied reads
-        # the small last_adds delta): ONE fused groupBy-collect covers
-        # both sides — tagging each with a side marker and aggregating
-        # per (side, host_bucket) replaces two driver job dispatches
-        # with one (the local-mode dispatch loop is serial, and at
-        # design scale it is one fewer stage barrier per round). The
-        # aggregation scans fresh fully, which doubles as the action
-        # that materializes its cache before the parallel write phase.
-        # Counts derived ⇒ empty deltas are skipped entirely (a
+        # stats: ONE fused groupBy-collect covers denied + fresh —
+        # tagging each with a side marker and aggregating per
+        # (side, host_bucket) replaces two driver job dispatches with
+        # one. The aggregation scans fresh fully, which doubles as the
+        # action that materializes its cache before the parallel write
+        # phase. Counts derived ⇒ empty deltas are skipped entirely (a
         # file-less partitioned parquet dir is unreadable, and empty
-        # rounds are normal once the frontier drains).
+        # rounds are normal once the frontier drains). Submitted on the
+        # pool so it overlaps the fetch-log write and the write-phase
+        # plan building below.
         tagged = (
             denied.select("host_bucket").withColumn("_side", F.lit("d"))
             .unionByName(
                 fresh.select("host_bucket").withColumn("_side", F.lit("f"))
             )
-        )
-        denied_counts: dict[int, int] = {}
-        fresh_counts: dict[int, int] = {}
-        for row in tagged.groupBy("_side", "host_bucket").count().collect():
-            side = denied_counts if row["_side"] == "d" else fresh_counts
-            side[int(row["host_bucket"])] = int(row["count"])
-        n_fetched = sum(sched_counts.values())
-        n_denied = sum(denied_counts.values())
-        n_fresh = sum(fresh_counts.values())
+        ).groupBy("_side", "host_bucket").count()
 
-        # 11. frontier/seen/bloom updates (merge-on-read deltas) —
-        # independent outputs, written concurrently (determinism is
-        # unaffected: each write's content is a pure function of the
-        # cached inputs)
+        # 6. fetch join + decode invariants (Arrow crossing), needing
+        # the schedule metadata (pruned-corpus pushdown keys) — joined
+        # here, after the main thread finished the discovery plans
+        sched_counts, push_hosts, push_ids = sched_meta.result()
+        n_fetched = sum(sched_counts.values())
+        # submit the fused counts job only now that the scheduled cache
+        # is materialized: the discovery path scans `scheduled`, and an
+        # earlier submission would race the metadata job into computing
+        # the whole dequeue pipeline twice
+        tagged_job = pool.submit(tagged.collect)
+        if self.corpus_layout is not None:
+            from ccrawler_spark.io.corpus_layout import pruned_corpus
+
+            corpus_side = pruned_corpus(
+                self.spark, self.corpus_layout,
+                buckets=sorted(sched_counts),
+                hosts=push_hosts, ids=push_ids,
+            )
+        else:
+            corpus_side = self.corpus
+        fetched = fetch_and_decode(scheduled, corpus_side)
+        fetch_log = fetched.select(
+            "seq", "url", "host", "host_bucket", "slot_ms", "priority",
+            "discover_ts", "depth", "fetch_ok", "pixels_ok", "caption_ok",
+            "phash_ok", "psnr_db",
+        )
+        log_job = pool.submit(
+            self.store.write_parquet, fetch_log, "fetch_log", f"round={r}"
+        )
+        # early removes submit: the delta is non-empty whenever
+        # n_fetched > 0 (known now, without the denied count), so the
+        # write overlaps the tagged-counts job instead of waiting in
+        # the serial write phase. n_fetched == 0 defers to the write
+        # phase, where n_denied decides.
+        removes = scheduled.select("url_hash", "url").unionByName(
+            denied.select("url_hash", "url")
+        )
+        removes_job = (
+            pool.submit(self.store.write_parquet, removes,
+                        "frontier", f"removes-r{r}")
+            if n_fetched else None
+        )
+
+        # 11. frontier/seen/bloom update PLANS, built BEFORE joining the
+        # counts job so the py4j construction overlaps it — the counts
+        # only pick which submissions happen (determinism is unaffected:
+        # each write's content is a pure function of the cached inputs).
         old_versions = {
             int(b): v.get("bloom_version", 0) for b, v in prev["lineage"].items()
         }
@@ -404,54 +426,65 @@ class CrawlEngine:
             ).withColumn("status", F.lit("queued")).withColumn(
                 "retry_count", F.lit(0)
             ).select(*FRONTIER_COLS)
+        new_head = head_with_fresh = None
+        if use_head:
+            # next head: survivors of this round's dequeue plus the
+            # gated fresh adds, capped at m per host (the fresh-union
+            # variant is used only when something was added — survivors
+            # alone are already ≤ m and ranked). Written every round;
+            # refill rebuilds it from the composed frontier instead.
+            new_head = survivors.select(*HEAD_COLS)
+            fresh_allowed = (
+                stages.robots_gate(fresh, self.robots_active, conf)
+                .filter(F.col("allowed"))
+                .select(*HEAD_COLS)
+            )
+            # salted: per-host input here is bounded (≤ m survivors
+            # + one round's discoveries), but a hot host can still
+            # receive the bulk of a round's adds in one window
+            # partition — the two-phase form is exact for any m
+            # (rank_per_host docstring), so salting costs nothing
+            # in correctness and removes the straggler task
+            head_with_fresh = stages.rank_per_host(
+                new_head.unionByName(fresh_allowed), conf,
+                self._head_m(), salted=True,
+            ).drop("_rn").select(*HEAD_COLS)
+        additions = fresh if recrawl is None else (
+            fresh.unionByName(recrawl).repartition(
+                64, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
+            )
+        )
+        # repartition by the write-partition key: otherwise each
+        # of the 64 host_bucket tasks writes a file into every
+        # seen_part dir (64×64 small files per round)
+        seen_delta = fresh.select(
+            "url_hash", "url",
+            umod_long(F.col("url_hash"), conf.seen_partitions)
+            .cast("int").alias("seen_part"),
+        ).repartition("seen_part")
+
+        denied_counts: dict[int, int] = {}
+        fresh_counts: dict[int, int] = {}
+        for row in tagged_job.result():
+            side = denied_counts if row["_side"] == "d" else fresh_counts
+            side[int(row["host_bucket"])] = int(row["count"])
+        n_denied = sum(denied_counts.values())
+        n_fresh = sum(fresh_counts.values())
 
         jobs = {}
         with ThreadPoolExecutor(max_workers=5) as ex:
             if use_head:
-                # next head: survivors of this round's dequeue plus the
-                # gated fresh adds, capped at m per host (cap skipped
-                # when nothing was added — survivors are already ≤ m
-                # and ranked). Written every round; refill rebuilds it
-                # from the composed frontier instead.
-                new_head = survivors.select(*HEAD_COLS)
-                if n_fresh:
-                    fresh_allowed = (
-                        stages.robots_gate(fresh, self.robots_active, conf)
-                        .filter(F.col("allowed"))
-                        .select(*HEAD_COLS)
-                    )
-                    # salted: per-host input here is bounded (≤ m survivors
-                    # + one round's discoveries), but a hot host can still
-                    # receive the bulk of a round's adds in one window
-                    # partition — the two-phase form is exact for any m
-                    # (rank_per_host docstring), so salting costs nothing
-                    # in correctness and removes the straggler task
-                    new_head = stages.rank_per_host(
-                        new_head.unionByName(fresh_allowed), conf,
-                        self._head_m(), salted=True,
-                    ).drop("_rn").select(*HEAD_COLS)
                 jobs["head"] = ex.submit(
-                    store.write_parquet, new_head, "frontier", f"head-r{r}"
+                    store.write_parquet,
+                    head_with_fresh if n_fresh else new_head,
+                    "frontier", f"head-r{r}",
                 )
             if n_fresh or recrawl is not None:
-                additions = fresh if recrawl is None else (
-                    fresh.unionByName(recrawl).repartition(
-                        64, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
-                    )
-                )
                 jobs["adds"] = ex.submit(
                     store.write_parquet, additions, "frontier", f"adds-r{r}",
                     partition_by=["host_bucket"],
                 )
             if n_fresh:
-                # repartition by the write-partition key: otherwise each
-                # of the 64 host_bucket tasks writes a file into every
-                # seen_part dir (64×64 small files per round)
-                seen_delta = fresh.select(
-                    "url_hash", "url",
-                    umod_long(F.col("url_hash"), conf.seen_partitions)
-                    .cast("int").alias("seen_part"),
-                ).repartition("seen_part")
                 jobs["seen"] = ex.submit(
                     store.write_parquet, seen_delta, "seen", f"delta-r{r}",
                     partition_by=["seen_part"],
@@ -459,23 +492,23 @@ class CrawlEngine:
                 jobs["bloom"] = ex.submit(
                     self._write_bloom_delta, fresh, bloom, r
                 )
-            if n_fetched + n_denied:
-                removes = scheduled.select("url_hash", "url").unionByName(
-                    denied.select("url_hash", "url")
-                )
+            if removes_job is None and n_fetched + n_denied:
                 jobs["removes"] = ex.submit(
                     store.write_parquet, removes, "frontier", f"removes-r{r}"
                 )
         adds_path = jobs["adds"].result() if "adds" in jobs else None
         seen_path = jobs["seen"].result() if "seen" in jobs else None
         bloom_path = jobs["bloom"].result() if "bloom" in jobs else None
-        removes_path = jobs["removes"].result() if "removes" in jobs else None
+        removes_path = (
+            removes_job.result() if removes_job is not None
+            else jobs["removes"].result() if "removes" in jobs else None
+        )
         head_entry = (
             {"path": jobs["head"].result(), "since_refill": head_since}
             if use_head else None
         )
         log_job.result()  # fetch_log must be durable before the commit
-        log_pool.shutdown()
+        pool.shutdown()
         new_versions = dict(old_versions)
         for b in fresh_counts:
             new_versions[b] = new_versions.get(b, 0) + 1
@@ -551,26 +584,49 @@ class CrawlEngine:
         return RoundStats(r, n_fetched, n_denied, n_fresh, queued_after)
 
     # ------------------------------------------------------------- helpers
-    def _pruned_corpus(self, scheduled: DataFrame,
-                       sched_counts: dict[int, int]) -> DataFrame:
-        """Corpus scan pruned by this round's schedule structure
-        (io/corpus_layout): always bucket partition pruning (the
-        per-bucket counts are already driver-side for lineage), plus
-        pushed host / image_id IN filters when the schedule is sparse
-        enough for them to pay. The host-collect is gated by a free
-        lower bound: each host contributes ≤ per_host_k scheduled rows,
-        so distinct hosts ≥ n / per_host_k — when that already exceeds
-        the cap (the dense regime, e.g. the bench conf), no extra job
-        runs at all. The collects that do run are schedule METADATA
-        (≤ cap rows off the cached scheduled frame) — same class as the
-        intentional lineage collect below, not data movement."""
+    def _sched_metadata(self, scheduled: DataFrame):
+        """One collect for everything the driver needs off the cached
+        scheduled frame: per-bucket lineage counts, plus the layout
+        pushdown keys (io/corpus_layout host / image_id IN filters)
+        when the schedule is sparse enough for them to pay.
+
+        Small-round regime (round_budget ≤ ID_PUSHDOWN_CAP): the
+        schedule is statically bounded at ≤ cap rows, so ONE collect of
+        (host_bucket, host, image_id) yields counts AND pushdown keys —
+        folding what used to be a groupBy-count job plus a separate
+        key collect into a single job (VERDICT r4 #6). Large-round
+        regime: groupBy-count first (counts are B ≤ 64 rows), then the
+        host pushdown gated by a free lower bound — each host
+        contributes ≤ per_host_k scheduled rows, so distinct hosts ≥
+        n / per_host_k; when that already exceeds the cap (the dense
+        regime, e.g. the bench conf) no extra job runs at all. All
+        collects here are schedule METADATA (≤ cap rows off the cached
+        frame) — same class as the intentional lineage collect, not
+        data movement.
+
+        Returns (sched_counts, hosts, ids); hosts/ids are None unless a
+        corpus layout is configured and the pushdown pays."""
+        from collections import Counter
         from math import ceil
 
         from ccrawler_spark.io.corpus_layout import (
-            HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP, pruned_corpus,
+            HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP,
         )
 
-        n = sum(sched_counts.values())
+        if self.conf.round_budget <= ID_PUSHDOWN_CAP:
+            rows = scheduled.select("host_bucket", "host", "image_id").collect()
+            counts = dict(Counter(int(r["host_bucket"]) for r in rows))
+            if self.corpus_layout is None or not rows:
+                return counts, None, None
+            hosts = {r["host"] for r in rows}
+            if len(hosts) > HOST_PUSHDOWN_CAP:
+                hosts = None
+            return counts, hosts, {r["image_id"] for r in rows}
+
+        counts = self._bucket_counts(scheduled)
+        if self.corpus_layout is None:
+            return counts, None, None
+        n = sum(counts.values())
         hosts = ids = None
         if n and ceil(n / self.conf.per_host_k) <= HOST_PUSHDOWN_CAP:
             if n <= ID_PUSHDOWN_CAP:
@@ -586,10 +642,7 @@ class CrawlEngine:
                     hosts = {r["host"] for r in rows}
             if hosts is not None and len(hosts) > HOST_PUSHDOWN_CAP:
                 hosts = None
-        return pruned_corpus(
-            self.spark, self.corpus_layout,
-            buckets=sorted(sched_counts), hosts=hosts, ids=ids,
-        )
+        return counts, hosts, ids
 
     def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
         # intentional collect: tiny side — B ≤ 64 aggregated rows, the

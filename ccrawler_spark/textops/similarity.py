@@ -367,6 +367,40 @@ def ivf_train_kmeans(embeddings: DataFrame, dim: int, n_cells: int = 64,
     return cents
 
 
+def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
+                            dim: int, n_cells: int = 64, n_iters: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> list[list[float]]:
+    """Persisted-centroid wrapper around :func:`ivf_train_kmeans`
+    (VERDICT r4 #3): at warehouse scale trained centroids are a
+    persisted dim table that every query reuses — retraining inline per
+    query both misprices the operator (training dominated the gate
+    query's timing) and wastes compute. Training is deterministic for a
+    fixed input, so the cache is sound; ``cache_key`` must identify the
+    input table (e.g. its path). Centroids persist as JSON under the
+    fixture cache dir and load driver-side (they ARE the dim table —
+    n_cells × dim floats)."""
+    import hashlib
+    import json
+
+    from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
+
+    key = hashlib.md5(
+        f"{cache_key}|{dim}|{n_cells}|{n_iters}|{id_col}|{vec_col}".encode()
+    ).hexdigest()[:16]
+    cdir = FIXTURE_ROOT / "ivf_cents"
+    cdir.mkdir(parents=True, exist_ok=True)
+    path = cdir / f"{key}.json"
+    if path.exists():
+        return json.loads(path.read_text())
+    cents = ivf_train_kmeans(embeddings, dim, n_cells, n_iters,
+                             id_col=id_col, vec_col=vec_col)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(cents))
+    tmp.replace(path)  # atomic: concurrent trainers converge on one file
+    return cents
+
+
 def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                  n_cells: int = 64, n_probe: int = 8,
                  id_col: str = "vec_id",

@@ -50,7 +50,7 @@ def test_engine_parity_layout_on_off(spark, tiny_fixtures, layout_dir):
 
 def test_pruned_scan_pushes_filters(spark, layout_dir):
     """Plan proof: host_bucket hits PartitionFilters (whole directories
-    pruned), host/image_id IN lists hit PushedFilters (row-group
+    pruned), host_key/image_id IN lists hit PushedFilters (row-group
     skipping via the sorted layout's min/max stats)."""
     from ccrawler_spark.io.corpus_layout import pruned_corpus
 
@@ -59,7 +59,7 @@ def test_pruned_scan_pushes_filters(spark, layout_dir):
     df = pruned_corpus(spark, layout_dir, buckets=[1, 2, 3], hosts=hosts)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [host_bucket" in plan
-    assert "In(host" in plan.split("PushedFilters")[1]
+    assert "In(host_key" in plan.split("PushedFilters")[1]
     # the id pushdown, on its own scan (the plan string truncates the
     # filter list, so both INs are not visible in one dump)
     ids = [f"{i:016x}" for i in range(12)]
@@ -95,14 +95,16 @@ def test_pruned_values_match_flat(spark, tiny_fixtures, layout_dir):
 
 def test_row_group_stats_enable_skipping(spark, tiny_fixtures):
     """Metadata proof: with the clustered sort order, a single host's
-    rows concentrate in few row groups — the [min,max] host stats of
-    most groups exclude it, so a pushed host filter skips them. The
-    flat corpus (hash order) has no such structure."""
+    rows concentrate in few row groups — the [min,max] host_key stats
+    of most groups exclude it, so a pushed host_key filter skips them.
+    The flat corpus (hash order) has no such structure."""
     import pyarrow.parquet as pq
 
     from ccrawler_spark.fixtures.gen import universe_urls_df
     from ccrawler_spark.functions.spark_exprs import image_id_of
-    from ccrawler_spark.io.corpus_layout import write_corpus_layout
+    from ccrawler_spark.io.corpus_layout import (
+        host_key_py, write_corpus_layout,
+    )
 
     out = tempfile.mkdtemp(prefix="layout-rg-") + "/layout"
     corpus = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
@@ -112,14 +114,14 @@ def test_row_group_stats_enable_skipping(spark, tiny_fixtures):
     # tiny rows → tiny row groups so the 1000-row corpus has many
     write_corpus_layout(corpus, url_map, out, row_group_bytes=16 * 1024)
     total, touched = 0, 0
-    target = "h19.example"  # a tail host, small page count
+    target = host_key_py("h19.example", 64)  # a tail host, few pages
     for pf in pathlib.Path(out).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
         for rg in range(md.num_row_groups):
             col = next(
                 md.row_group(rg).column(i)
                 for i in range(md.row_group(rg).num_columns)
-                if md.row_group(rg).column(i).path_in_schema == "host"
+                if md.row_group(rg).column(i).path_in_schema == "host_key"
             )
             total += 1
             st = col.statistics
@@ -166,7 +168,7 @@ def test_layout_bucket_mismatch_fails_loudly(spark, tiny_fixtures,
     # matching bucket count passes (and json is well-formed)
     assert json.loads(
         (pathlib.Path(layout_dir) / META_FILE).read_text()
-    )["cluster_keys"] == ["host_bucket", "host", "image_id"]
+    )["cluster_keys"] == ["host_bucket", "host_key.bp2", "image_id"]
 
 
 def test_engine_parity_layout_recrawl(spark, tiny_fixtures, layout_dir):
