@@ -5,7 +5,7 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. 26 queries, 25 with a DuckDB oracle (value-checked; the one
+cleanly. 27 queries, 26 with a DuckDB oracle (value-checked; the one
 exception, trained-IVF ANN, is rows-only by declared necessity — see
 its docstring): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
@@ -263,6 +263,29 @@ def q_ann_cosine_topk_ivf(spark, sf_dir):
     )
 
 
+def q_training_corpus_select(spark, sf_dir):
+    """End-to-end training-set selection — the composed pipeline a
+    100 TB pretraining-data job actually runs: exact-dedup survivors
+    (one per text hash) that pass a quality threshold and a language
+    gate, as ONE declarative plan (dedup aggregate + two scalar-codegen
+    joins; Catalyst pipelines the scans, nothing materializes between
+    stages). Exercises operator COMPOSITION, not just each operator
+    alone — the DuckDB twin composes the same three oracle bodies as
+    CTEs, so the gate value-checks the join semantics too."""
+    from ccrawler_spark.textops.dedup import exact_dedup
+    from ccrawler_spark.textops.textstats import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir)
+    surv = exact_dedup(docs).select("doc_id", "dup_count")
+    q = quality_score(docs).select("doc_id", "quality")
+    lg = lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        surv.join(q, "doc_id").join(lg, "doc_id")
+        .filter((F.col("quality") >= 0.7) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "dup_count", "quality", "lang_pred")
+    )
+
+
 def q_ann_cosine_topk_ivf_trained(spark, sf_dir):
     """IVF-flat ANN with Lloyd-trained (spherical k-means) centroids —
     rows-only check: iterative float means are not literal-expressible
@@ -360,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "training_corpus_select": q_training_corpus_select,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -609,6 +633,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang_label, {pred_case} AS lang_pred,
                    {hits} AS marker_hits
             FROM c
+        """,
+        "training_corpus_select": f"""
+            WITH surv AS (
+              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+              FROM documents GROUP BY {_h('text')}
+            ), qb AS (
+              SELECT doc_id,
+                CAST(len({_TOKENS}) AS DOUBLE) AS n_tok,
+                CAST(length(text) - length(regexp_replace(text,
+                  '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+                CAST(len(list_filter({_TOKENS},
+                  t -> list_contains({STOP_SQL}, t))) AS DOUBLE)
+                  / greatest(CAST(len({_TOKENS}) AS DOUBLE), 1.0) AS stop_ratio
+              FROM documents
+            ), qual AS (
+              SELECT doc_id,
+                     round(0.4 * least(1.0, n_tok / 50.0)
+                         + 0.3 * greatest(0.0, 1.0 - punct_ratio * 10.0)
+                         + 0.3 * least(1.0, stop_ratio * 5.0), 6) AS quality
+              FROM qb
+            ), lc AS (SELECT doc_id, {sel_counts} FROM documents),
+            lp AS (SELECT doc_id, {pred_case} AS lang_pred FROM lc)
+            SELECT surv.doc_id, dup_count, quality, lang_pred
+            FROM surv JOIN qual USING (doc_id) JOIN lp USING (doc_id)
+            WHERE quality >= 0.7 AND lang_pred = 'en'
         """,
         "fingerprint": f"""
             SELECT doc_id, {_h('text')} AS content_hash,

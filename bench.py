@@ -30,7 +30,8 @@ HEADLINE = [
     "broadcast_dim_join", "bucket_histogram", "dedup_exact",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
     "simhash", "simhash_near_pairs", "phash_near_pairs", "token_stats",
-    "quality_score", "lang_id", "fingerprint", "ann_cosine_topk",
+    "quality_score", "lang_id", "training_corpus_select", "fingerprint",
+    "ann_cosine_topk",
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
     "ann_cosine_topk_ivf_trained", "embedding_near_dup",
 ]
