@@ -56,38 +56,50 @@ def scheduled_for_hosts(spark, fdir: str, step: int, k: int):
     )
 
 
-def rowgroup_histogram(layout: str, hosts: set[str] | None):
-    """(touched, total) row groups whose host_key [min,max] stats admit
-    any scheduled host — the metadata-level skipping bound. hosts=None
-    means the dense all-hosts schedule (every group touched by
-    definition). The layout clusters on the NUMERIC host_key
-    (io/corpus_layout.CLUSTER_KEYS): host-string stats interleave
-    lexicographically and admitted ~5× more groups than actually hold a
-    scheduled host's rows (measured r5)."""
+def rowgroup_histogram(layout: str, hosts: set[str] | None,
+                       wide: set[str] | None = None,
+                       wide_ids: set[str] | None = None):
+    """(touched, total) row groups the pruned scan would read — the
+    metadata-level skipping bound. hosts=None means the dense all-hosts
+    schedule (every group touched by definition). The layout clusters
+    on the bucket-prefixed NUMERIC host_key (io/corpus_layout
+    .CLUSTER_KEYS): host-string stats interleave lexicographically, and
+    an un-prefixed hash key cross-admits groups of other buckets — both
+    measured r5. With a wide-host split, a group admitted ONLY by a
+    wide host's key must additionally contain one of its scheduled
+    image_ids (the id stats are tight inside a sorted run)."""
     import bisect
 
     import pyarrow.parquet as pq
 
     from ccrawler_spark.io.corpus_layout import host_key_py
 
+    def _admits(srt, lo_v, hi_v):
+        lo = bisect.bisect_left(srt, lo_v)
+        return lo < len(srt) and srt[lo] <= hi_v
+
     total = touched = 0
-    srt = (sorted(host_key_py(h, 64) for h in hosts)
-           if hosts is not None else None)
+    narrow = (hosts - wide) if (hosts and wide) else hosts
+    srt_n = (sorted(host_key_py(h, 64) for h in narrow)
+             if narrow is not None else None)
+    srt_w = sorted(host_key_py(h, 64) for h in wide) if wide else None
+    srt_wi = sorted(wide_ids) if wide_ids else None
     for pf in pathlib.Path(layout).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
-        host_i = next(
-            i for i in range(md.row_group(0).num_columns)
-            if md.row_group(0).column(i).path_in_schema == "host_key"
-        )
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(host_i).statistics
+            st = md.row_group(rg).column(cols["host_key"]).statistics
             total += 1
-            if srt is None:
+            if srt_n is None:
                 touched += 1
-            else:
-                # any scheduled host_key within [min, max]?
-                lo = bisect.bisect_left(srt, st.min)
-                if lo < len(srt) and srt[lo] <= st.max:
+            elif _admits(srt_n, st.min, st.max):
+                touched += 1
+            elif srt_w and _admits(srt_w, st.min, st.max):
+                sti = md.row_group(rg).column(cols["image_id"]).statistics
+                if srt_wi is None or _admits(srt_wi, sti.min, sti.max):
                     touched += 1
     return touched, total
 
@@ -130,11 +142,16 @@ def main():
     flat = spark.read.parquet(f"{fdir}/corpus.parquet")
 
     out = {"cores": args.cores, "layout_build_s": layout_build_s}
+    from ccrawler_spark.functions.hashing import umod, xxhash64_str
+    from ccrawler_spark.io.corpus_layout import (
+        pruned_corpus_split, read_layout_meta, split_hosts_by_width,
+    )
+
+    meta = read_layout_meta(layout)
     for regime, step in (("sparse", 100), ("dense", 1)):
         sched = scheduled_for_hosts(spark, fdir, step=step, k=200).cache()
         n = sched.count()
-        hosts = None
-        ids = None
+        hosts = ids = wide = wide_ids = None
         if regime == "sparse":
             hosts = {r["host"] for r in sched.select("host").distinct().collect()}
             if n <= ID_PUSHDOWN_CAP:
@@ -143,18 +160,42 @@ def main():
             r["host_bucket"]
             for r in sched.select("host_bucket").distinct().collect()
         ]
-        pruned = pruned_corpus(
-            spark, layout, buckets=buckets,
-            hosts=hosts if hosts and len(hosts) <= HOST_PUSHDOWN_CAP else None,
-            ids=ids,
-        )
+        if (hosts and len(hosts) <= HOST_PUSHDOWN_CAP and ids is None
+                and meta and meta.get("wide_host_keys")):
+            # engine-parallel two-scan split (engine._sched_metadata):
+            # full id set over the cap, wide hosts' share under it
+            narrow, wide = split_hosts_by_width(meta, hosts)
+            if wide:
+                wide_ids = {
+                    r["image_id"]
+                    for r in sched.filter(
+                        F.col("host").isin(sorted(wide))
+                    ).select("image_id").collect()
+                }
+                if len(wide_ids) > ID_PUSHDOWN_CAP:
+                    wide = wide_ids = None
+        if wide:
+            pruned = pruned_corpus_split(
+                spark, layout, narrow_hosts=hosts - wide,
+                wide_hosts=wide, wide_ids=wide_ids,
+                buckets_of=lambda h: umod(xxhash64_str(h), 64),
+            )
+        else:
+            pruned = pruned_corpus(
+                spark, layout, buckets=buckets,
+                hosts=hosts if hosts and len(hosts) <= HOST_PUSHDOWN_CAP
+                else None,
+                ids=ids,
+            )
         flat_walls = time_fetch(spark, sched, flat)
         layout_walls = time_fetch(spark, sched, pruned)
-        touched, total = rowgroup_histogram(layout, hosts)
+        touched, total = rowgroup_histogram(layout, hosts, wide, wide_ids)
         out[regime] = {
             "scheduled_rows": n,
             "scheduled_hosts": len(hosts) if hosts else "all",
             "buckets": len(buckets),
+            "wide_hosts": len(wide) if wide else 0,
+            "wide_ids": len(wide_ids) if wide_ids else 0,
             "flat_wall_s": flat_walls,
             "layout_wall_s": layout_walls,
             "speedup_warm": round(flat_walls[-1] / layout_walls[-1], 2),

@@ -149,7 +149,89 @@ def write_corpus_layout(
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.partitionBy("host_bucket").parquet(path)
-    write_layout_meta(path, buckets, row_group_bytes)
+    write_layout_meta(path, buckets, row_group_bytes,
+                      wide_host_keys_from_footers(path))
+
+
+WIDE_MIN_GROUPS = 8  # a host whose sorted run spans ≥ this many row
+# groups is "wide": its groups' host_key stats are [k, k] and only an
+# image_id filter can skip inside the run. The layout records wide
+# hosts' keys in the metadata sidecar (bounded: ≤ total_groups / 8
+# entries, i.e. only the Zipf head) so the reader can plan a two-scan
+# split — narrow hosts host-pruned, wide hosts host+id-pruned — when
+# the full schedule's id set exceeds ID_PUSHDOWN_CAP but the wide
+# hosts' share fits.
+
+
+def wide_host_keys_from_footers(path: str) -> list[int]:
+    """Wide-host keys from the layout's parquet footers: keys that are
+    both min and max of ≥ WIDE_MIN_GROUPS row groups (single-host
+    groups — the inside of a sorted run). Driver-side pyarrow pass
+    here (≈0.5 s per 10⁴ groups); at warehouse scale this is a
+    distributed metadata job over the manifest, run by the same
+    maintenance job that writes the layout."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    runs: Counter = Counter()
+    for pf in pathlib.Path(path).glob("host_bucket=*/*.parquet"):
+        md = pq.ParquetFile(pf).metadata
+        ki = next(
+            i for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "host_key"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ki).statistics
+            if st.min == st.max:
+                runs[st.min] += 1
+    return sorted(k for k, c in runs.items() if c >= WIDE_MIN_GROUPS)
+
+
+def split_hosts_by_width(meta: dict, hosts) -> tuple[set, set]:
+    """(narrow, wide) partition of scheduled hosts against the layout
+    metadata's wide-host key list."""
+    wide_keys = set(meta.get("wide_host_keys", []))
+    b = int(meta["buckets"])
+    wide = {h for h in hosts if host_key_py(h, b) in wide_keys}
+    return set(hosts) - wide, wide
+
+
+def pruned_corpus_split(
+    spark: SparkSession,
+    path: str,
+    narrow_hosts,
+    wide_hosts,
+    wide_ids,
+    buckets_of,
+) -> DataFrame:
+    """Two-scan split pruning (r5): narrow hosts read with host_key
+    pruning only; wide hosts additionally push their scheduled
+    image_ids (a bounded set — ≤ |wide| × per_host_k), skipping row
+    groups INSIDE their sorted runs via the tight per-group id stats.
+
+    Soundness: the scans partition the scheduled hosts, so their union
+    covers every scheduled corpus row; a wide-host row with an
+    unscheduled id is dropped, and it can only have been needed if two
+    different URLs collided in the 64-bit image_id — the same
+    collision assumption the fetch join itself already makes.
+    ``buckets_of(host)`` maps a host to its partition value (pure,
+    driver-side)."""
+    a = pruned_corpus(
+        spark, path,
+        buckets=sorted({buckets_of(h) for h in narrow_hosts}),
+        hosts=narrow_hosts,
+    ) if narrow_hosts else None
+    b = pruned_corpus(
+        spark, path,
+        buckets=sorted({buckets_of(h) for h in wide_hosts}),
+        hosts=wide_hosts, ids=wide_ids,
+    ) if wide_hosts else None
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a.unionByName(b)
 
 
 def host_key_py(host: str, buckets: int) -> int:
@@ -165,9 +247,11 @@ def host_key_py(host: str, buckets: int) -> int:
 
 
 def write_layout_meta(path: str, buckets: int,
-                      row_group_bytes: int | None) -> None:
+                      row_group_bytes: int | None,
+                      wide_host_keys: list[int] | None = None) -> None:
     meta = {"buckets": int(buckets), "cluster_keys": CLUSTER_KEYS,
-            "row_group_bytes": row_group_bytes}
+            "row_group_bytes": row_group_bytes,
+            "wide_host_keys": [int(k) for k in (wide_host_keys or [])]}
     (pathlib.Path(path) / META_FILE).write_text(json.dumps(meta))
 
 

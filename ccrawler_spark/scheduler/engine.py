@@ -361,25 +361,16 @@ class CrawlEngine:
         ).groupBy("_side", "host_bucket").count()
 
         # 6. fetch join + decode invariants (Arrow crossing), needing
-        # the schedule metadata (pruned-corpus pushdown keys) — joined
+        # the schedule metadata (pruned-corpus pushdown plan) — joined
         # here, after the main thread finished the discovery plans
-        sched_counts, push_hosts, push_ids = sched_meta.result()
+        sched_counts, push = sched_meta.result()
         n_fetched = sum(sched_counts.values())
         # submit the fused counts job only now that the scheduled cache
         # is materialized: the discovery path scans `scheduled`, and an
         # earlier submission would race the metadata job into computing
         # the whole dequeue pipeline twice
         tagged_job = pool.submit(tagged.collect)
-        if self.corpus_layout is not None:
-            from ccrawler_spark.io.corpus_layout import pruned_corpus
-
-            corpus_side = pruned_corpus(
-                self.spark, self.corpus_layout,
-                buckets=sorted(sched_counts),
-                hosts=push_hosts, ids=push_ids,
-            )
-        else:
-            corpus_side = self.corpus
+        corpus_side = self._corpus_side(sched_counts, push)
         fetched = fetch_and_decode(scheduled, corpus_side)
         fetch_log = fetched.select(
             "seq", "url", "host", "host_bucket", "slot_ms", "priority",
@@ -604,28 +595,40 @@ class CrawlEngine:
         frame) — same class as the intentional lineage collect, not
         data movement.
 
-        Returns (sched_counts, hosts, ids); hosts/ids are None unless a
-        corpus layout is configured and the pushdown pays."""
+        When the host pushdown applies but the full id set exceeds
+        ID_PUSHDOWN_CAP, the layout metadata's wide-host list enables a
+        TWO-SCAN SPLIT (r5): narrow hosts keep host-only pruning, and
+        the wide (Zipf-head) hosts — whose sorted runs span many row
+        groups that a host filter alone cannot skip inside — push their
+        own scheduled ids, a set bounded by |wide| × per_host_k (a free
+        driver-side bound, checked before the extra bounded collect
+        runs).
+
+        Returns (sched_counts, push) where push is None (no layout /
+        no pushdown pays) or a dict:
+          {"hosts": set|None, "ids": set|None}              — one scan
+          {"narrow": set, "wide": set, "wide_ids": set}     — split"""
         from collections import Counter
         from math import ceil
 
         from ccrawler_spark.io.corpus_layout import (
-            HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP,
+            HOST_PUSHDOWN_CAP, ID_PUSHDOWN_CAP, read_layout_meta,
+            split_hosts_by_width,
         )
 
         if self.conf.round_budget <= ID_PUSHDOWN_CAP:
             rows = scheduled.select("host_bucket", "host", "image_id").collect()
             counts = dict(Counter(int(r["host_bucket"]) for r in rows))
             if self.corpus_layout is None or not rows:
-                return counts, None, None
+                return counts, None
             hosts = {r["host"] for r in rows}
             if len(hosts) > HOST_PUSHDOWN_CAP:
                 hosts = None
-            return counts, hosts, {r["image_id"] for r in rows}
+            return counts, {"hosts": hosts, "ids": {r["image_id"] for r in rows}}
 
         counts = self._bucket_counts(scheduled)
         if self.corpus_layout is None:
-            return counts, None, None
+            return counts, None
         n = sum(counts.values())
         hosts = ids = None
         if n and ceil(n / self.conf.per_host_k) <= HOST_PUSHDOWN_CAP:
@@ -642,7 +645,54 @@ class CrawlEngine:
                     hosts = {r["host"] for r in rows}
             if hosts is not None and len(hosts) > HOST_PUSHDOWN_CAP:
                 hosts = None
-        return counts, hosts, ids
+        if hosts is None:
+            return counts, None
+        if ids is not None:
+            return counts, {"hosts": hosts, "ids": ids}
+        # host-only pushdown: try the wide-host split. The id collect
+        # is gated by the free bound |wide| × per_host_k ≤ cap, so it
+        # never runs unbounded; it reads the cached scheduled frame
+        # (schedule metadata, not data movement).
+        meta = read_layout_meta(self.corpus_layout)
+        if meta and meta.get("wide_host_keys"):
+            narrow, wide = split_hosts_by_width(meta, hosts)
+            if wide and len(wide) * self.conf.per_host_k <= ID_PUSHDOWN_CAP:
+                rows = (
+                    scheduled.filter(F.col("host").isin(sorted(wide)))
+                    .select("image_id").collect()
+                )
+                return counts, {
+                    "narrow": narrow, "wide": wide,
+                    "wide_ids": {r["image_id"] for r in rows},
+                }
+        return counts, {"hosts": hosts, "ids": None}
+
+    def _corpus_side(self, sched_counts: dict[int, int], push):
+        """Fetch-join corpus frame for this round: the flat corpus, a
+        single pruned layout scan, or the two-scan wide-host split
+        (see _sched_metadata). Purely physical — identical results."""
+        if self.corpus_layout is None:
+            return self.corpus
+        from ccrawler_spark.functions.hashing import umod, xxhash64_str
+        from ccrawler_spark.io.corpus_layout import (
+            pruned_corpus, pruned_corpus_split,
+        )
+
+        if push is not None and "narrow" in push:
+            return pruned_corpus_split(
+                self.spark, self.corpus_layout,
+                narrow_hosts=push["narrow"], wide_hosts=push["wide"],
+                wide_ids=push["wide_ids"],
+                buckets_of=lambda h: umod(
+                    xxhash64_str(h), self.conf.host_buckets
+                ),
+            )
+        return pruned_corpus(
+            self.spark, self.corpus_layout,
+            buckets=sorted(sched_counts),
+            hosts=push["hosts"] if push else None,
+            ids=push["ids"] if push else None,
+        )
 
     def _bucket_counts(self, df: DataFrame) -> dict[int, int]:
         # intentional collect: tiny side — B ≤ 64 aggregated rows, the

@@ -197,3 +197,57 @@ def test_engine_parity_layout_recrawl(spark, tiny_fixtures, layout_dir):
     assert _sorted_rows(flat.read_frontier(n)) == _sorted_rows(
         lay.read_frontier(n)
     )
+
+
+def test_wide_host_split_pruning(spark, tiny_fixtures):
+    """r5 two-scan split: the layout metadata records wide hosts (runs
+    spanning ≥ WIDE_MIN_GROUPS row groups); a schedule whose full id
+    set exceeds the pushdown cap can still push the wide hosts' ids on
+    a second scan. Values must equal the flat corpus rows of the
+    scheduled hosts (with the wide host restricted to scheduled ids)."""
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.functions.hashing import umod, xxhash64_str
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+    from ccrawler_spark.io.corpus_layout import (
+        host_key_py, pruned_corpus_split, read_layout_meta,
+        split_hosts_by_width, write_corpus_layout,
+    )
+
+    out = tempfile.mkdtemp(prefix="layout-wide-") + "/layout"
+    corpus = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+    url_map = universe_urls_df(spark, str(tiny_fixtures)).select(
+        image_id_of(F.col("url")).alias("image_id"), "host"
+    )
+    # tiny row groups -> the Zipf-head host h0 spans many groups
+    write_corpus_layout(corpus, url_map, out, row_group_bytes=8 * 1024)
+    meta = read_layout_meta(out)
+    assert meta["wide_host_keys"], "head host should be wide at 8KiB groups"
+    assert host_key_py("h0.example", 64) in meta["wide_host_keys"]
+
+    sched_hosts = {"h0.example", "h5.example", "h19.example"}
+    narrow, wide = split_hosts_by_width(meta, sched_hosts)
+    assert "h0.example" in wide and "h19.example" in narrow
+
+    # schedule: 5 specific ids of the wide host + all of the narrow ones
+    flat = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+    hosted = flat.join(url_map, on="image_id")
+    wide_ids = {
+        r["image_id"]
+        for r in hosted.filter(F.col("host").isin(sorted(wide)))
+        .select("image_id").limit(5).collect()
+    }
+    got = pruned_corpus_split(
+        spark, out, narrow_hosts=narrow, wide_hosts=wide,
+        wide_ids=wide_ids,
+        buckets_of=lambda h: umod(xxhash64_str(h), 64),
+    ).select("image_id", "fmt", "phash")
+    want = hosted.filter(
+        F.col("host").isin(sorted(narrow))
+        | F.col("image_id").isin(sorted(wide_ids))
+    ).select("image_id", "fmt", "phash")
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # and the wide scan's id filter actually restricted the wide host
+    n_wide_rows = got.join(
+        url_map.filter(F.col("host").isin(sorted(wide))), on="image_id"
+    ).count()
+    assert n_wide_rows == len(wide_ids)
