@@ -251,3 +251,66 @@ def test_wide_host_split_pruning(spark, tiny_fixtures):
         url_map.filter(F.col("host").isin(sorted(wide))), on="image_id"
     ).count()
     assert n_wide_rows == len(wide_ids)
+
+
+def test_sched_metadata_plans_wide_split(spark, tiny_fixtures, layout_dir):
+    """Engine-side split planning (_sched_metadata): with a large-round
+    conf (budget > ID_PUSHDOWN_CAP) and a host-only pushdown, wide
+    hosts from the layout metadata get their ids collected (free-bound
+    gated) and the plan comes back as the two-scan split dict."""
+    import json
+
+    from ccrawler_spark.conf import CrawlConf
+    from ccrawler_spark.io.corpus_layout import (
+        META_FILE, host_key_py, read_layout_meta,
+    )
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    # force h0 to be "wide" in a copy of the layout's metadata
+    import shutil
+
+    lay = tempfile.mkdtemp(prefix="layout-splitplan-") + "/layout"
+    shutil.copytree(layout_dir, lay)
+    meta = read_layout_meta(lay)
+    meta["wide_host_keys"] = [host_key_py("h0.example", 64)]
+    (pathlib.Path(lay) / META_FILE).write_text(json.dumps(meta))
+
+    out = tempfile.mkdtemp(prefix="splitplan-")
+    conf = CrawlConf(round_budget=8192, per_host_k=64)
+    engine, _ = make_engine(spark, str(tiny_fixtures), out, conf=conf,
+                            corpus_layout=lay)
+    # > ID_PUSHDOWN_CAP total rows so the full id set cannot push, but
+    # the wide host's share can (free bound |wide| x per_host_k)
+    rows = [
+        (f"h{1 + i % 100}.example", f"{i:016x}", i % 64)
+        for i in range(4100)
+    ] + [("h0.example", f"aa{j:014x}", 7) for j in range(50)]
+    sched = spark.createDataFrame(
+        rows, "host string, image_id string, host_bucket int",
+    )
+    counts, push = engine._sched_metadata(sched)
+    assert sum(counts.values()) == 4150
+    assert "narrow" in push, f"expected split plan, got {push}"
+    assert push["wide"] == {"h0.example"}
+    assert len(push["wide_ids"]) == 50
+    assert "h1.example" in push["narrow"] and "h99.example" in push["narrow"]
+    # and the corpus side builds (plan only) without error
+    df = engine._corpus_side(counts, push)
+    assert "image_id" in df.columns
+
+    # free bound violated (too many wide hosts x per_host_k) -> no split
+    meta["wide_host_keys"] = [
+        host_key_py(f"h{i}.example", 64) for i in range(200)
+    ]
+    (pathlib.Path(lay) / META_FILE).write_text(json.dumps(meta))
+    big = spark.createDataFrame(
+        [(f"h{i % 200}.example", f"{i:016x}", i % 64) for i in range(4200)],
+        "host string, image_id string, host_bucket int",
+    )
+    conf2 = CrawlConf(round_budget=8192, per_host_k=64)
+    engine2, _ = make_engine(spark, str(tiny_fixtures), out, conf=conf2,
+                             corpus_layout=lay)
+    _, push2 = engine2._sched_metadata(big)
+    # host-only plan: 200 wide hosts x 64 = 12,800 ids breaks the bound
+    assert push2 is not None and "narrow" not in push2
+    assert push2["ids"] is None and len(push2["hosts"]) == 200
