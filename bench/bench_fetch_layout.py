@@ -58,7 +58,8 @@ def scheduled_for_hosts(spark, fdir: str, step: int, k: int):
 
 def rowgroup_histogram(layout: str, hosts: set[str] | None,
                        wide: set[str] | None = None,
-                       wide_ids: set[str] | None = None):
+                       wide_ids: set[str] | None = None,
+                       ids: set[str] | None = None):
     """(touched, total) row groups the pruned scan would read — the
     metadata-level skipping bound. hosts=None means the dense all-hosts
     schedule (every group touched by definition). The layout clusters
@@ -67,12 +68,20 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
     an un-prefixed hash key cross-admits groups of other buckets — both
     measured r5. With a wide-host split, a group admitted ONLY by a
     wide host's key must additionally contain one of its scheduled
-    image_ids (the id stats are tight inside a sorted run)."""
+    image_ids (the id stats are tight inside a sorted run). With a
+    global ``ids`` set (the arrow set-based reader, which ANDs the
+    host_key and image_id filters for every group), an admitted group
+    must also contain one scheduled id. The bucket count comes from
+    the layout's own metadata sidecar, not a hard-coded constant — a
+    layout written with different bucketing would otherwise silently
+    produce a bogus histogram (ADVICE r5)."""
     import bisect
 
     import pyarrow.parquet as pq
 
-    from ccrawler_spark.io.corpus_layout import host_key_py
+    from ccrawler_spark.io.corpus_layout import host_key_py, read_layout_meta
+
+    b = int(read_layout_meta(layout)["buckets"])
 
     def _admits(srt, lo_v, hi_v):
         lo = bisect.bisect_left(srt, lo_v)
@@ -80,10 +89,11 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
 
     total = touched = 0
     narrow = (hosts - wide) if (hosts and wide) else hosts
-    srt_n = (sorted(host_key_py(h, 64) for h in narrow)
+    srt_n = (sorted(host_key_py(h, b) for h in narrow)
              if narrow is not None else None)
-    srt_w = sorted(host_key_py(h, 64) for h in wide) if wide else None
+    srt_w = sorted(host_key_py(h, b) for h in wide) if wide else None
     srt_wi = sorted(wide_ids) if wide_ids else None
+    srt_ids = sorted(ids) if ids else None
     for pf in pathlib.Path(layout).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
         cols = {
@@ -92,13 +102,15 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
         }
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(cols["host_key"]).statistics
+            sti = md.row_group(rg).column(cols["image_id"]).statistics
             total += 1
+            if srt_ids is not None and not _admits(srt_ids, sti.min, sti.max):
+                continue  # the global AND id filter alone skips it
             if srt_n is None:
                 touched += 1
             elif _admits(srt_n, st.min, st.max):
                 touched += 1
             elif srt_w and _admits(srt_w, st.min, st.max):
-                sti = md.row_group(rg).column(cols["image_id"]).statistics
                 if srt_wi is None or _admits(srt_wi, sti.min, sti.max):
                     touched += 1
     return touched, total

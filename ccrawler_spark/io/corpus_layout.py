@@ -177,12 +177,18 @@ def wide_host_keys_from_footers(path: str) -> list[int]:
     runs: Counter = Counter()
     for pf in pathlib.Path(path).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
+        if md.num_row_groups == 0:
+            continue  # zero-row-group file (empty write): nothing to scan
         ki = next(
             i for i in range(md.row_group(0).num_columns)
             if md.row_group(0).column(i).path_in_schema == "host_key"
         )
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ki).statistics
+            # absent stats (writer with stats disabled) degrade to "no
+            # wide hosts seen here", never a crash (ADVICE r5)
+            if st is None or st.min is None or st.max is None:
+                continue
             if st.min == st.max:
                 runs[st.min] += 1
     return sorted(k for k, c in runs.items() if c >= WIDE_MIN_GROUPS)

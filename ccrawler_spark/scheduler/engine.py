@@ -199,7 +199,22 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ run_round
     def run_round(self, r: int) -> RoundStats:
-        """Snapshot r-1 → snapshot r (SEMANTICS.md §6)."""
+        """Snapshot r-1 → snapshot r (SEMANTICS.md §6).
+
+        The round's overlap pool lives exactly as long as this call:
+        on ANY exit — including an exception between submissions — the
+        finally drains in-flight writes (wait=True) and cancels queued
+        ones, so no round-r write (fetch_log, removes, ...) outlives
+        the call to race a retry of the same round (ADVICE r5)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            return self._run_round_body(r, pool)
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+
+    def _run_round_body(self, r: int, pool) -> RoundStats:
         conf = self.conf
         store = self.store
         prev = store.read_manifest(r - 1)
@@ -300,10 +315,10 @@ class CrawlEngine:
         # is driver-side py4j chatter (hundreds of expression
         # round-trips, ~2 s/round profiled at r5) that needs only the
         # DataFrame objects, never the collect results — serializing it
-        # behind the collect was pure added wall.
+        # behind the collect was pure added wall. (`pool` is owned by
+        # run_round's try/finally — see its docstring.)
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=4)
         sched_meta = pool.submit(self._sched_metadata, scheduled)
 
         # 7-10. discovery → scope → in-round dedup → seen dedup
@@ -499,7 +514,6 @@ class CrawlEngine:
             if use_head else None
         )
         log_job.result()  # fetch_log must be durable before the commit
-        pool.shutdown()
         new_versions = dict(old_versions)
         for b in fresh_counts:
             new_versions[b] = new_versions.get(b, 0) + 1

@@ -377,16 +377,30 @@ def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
     query both misprices the operator (training dominated the gate
     query's timing) and wastes compute. Training is deterministic for a
     fixed input, so the cache is sound; ``cache_key`` must identify the
-    input table (e.g. its path). Centroids persist as JSON under the
-    fixture cache dir and load driver-side (they ARE the dim table —
-    n_cells × dim floats)."""
+    input table (e.g. its path). When the key IS a path that exists,
+    its content fingerprint (per-file size + mtime_ns) joins the cache
+    key, so regenerating the table at the same path invalidates the
+    cached centroids instead of silently reusing stale ones (ADVICE
+    r5). Centroids persist as JSON under the fixture cache dir and
+    load driver-side (they ARE the dim table — n_cells × dim
+    floats)."""
     import hashlib
     import json
+    import pathlib
 
     from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
 
+    fp = ""
+    p = pathlib.Path(cache_key)
+    if p.exists():
+        files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+        fp = "|".join(
+            f"{f.name}:{f.stat().st_size}:{f.stat().st_mtime_ns}"
+            for f in files
+        )
     key = hashlib.md5(
-        f"{cache_key}|{dim}|{n_cells}|{n_iters}|{id_col}|{vec_col}".encode()
+        f"{cache_key}|{fp}|{dim}|{n_cells}|{n_iters}|{id_col}|{vec_col}"
+        .encode()
     ).hexdigest()[:16]
     cdir = FIXTURE_ROOT / "ivf_cents"
     cdir.mkdir(parents=True, exist_ok=True)
