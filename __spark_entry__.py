@@ -5,7 +5,7 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. 27 queries, 26 with a DuckDB oracle (value-checked; the one
+cleanly. 28 queries, 27 with a DuckDB oracle (value-checked; the one
 exception, trained-IVF ANN, is rows-only by declared necessity — see
 its docstring): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
@@ -357,6 +357,51 @@ def q_phash_near_pairs(spark, sf_dir):
     )
 
 
+def _pruned_read_schedule() -> tuple[set, set]:
+    """Deterministic fixed schedule for the pruned-read gate (pure
+    Python — both the Spark query and the DuckDB oracle derive the
+    same sets): the first min(pages, 25) pages of every 3rd tiny-
+    fixture host."""
+    from ccrawler_spark.fixtures import corpus as corpus_mod
+    from ccrawler_spark.fixtures.gen import (
+        SIZES, host_name, page_allocation,
+    )
+
+    H, U, _, _ = SIZES["tiny"]
+    pages = page_allocation(H, U)
+    hosts, ids = set(), set()
+    for i in range(0, H, 3):
+        h = host_name(i)
+        hosts.add(h)
+        for j in range(min(int(pages[i]), 25)):
+            ids.add(corpus_mod.image_id(f"http://{h}/p/{j}"))
+    return hosts, ids
+
+
+def q_pruned_corpus_read(spark, sf_dir):
+    """Value-gates the corpus layout's pruned fetch read end-to-end
+    (VERDICT r5 #3): reads the tiny fixture corpus through the r6
+    set-based arrow scan (host_key row-group skipping + image_id
+    hash-set filter — io/arrow_scan) with a fixed deterministic
+    schedule. The DuckDB twin scans the FLAT fixture corpus parquet
+    with the same image_id predicate: equality proves the layout +
+    pruned path neither drops a scheduled row nor admits an extra one.
+    Runs on the layout fixture (not the sf tables — the layout IS the
+    structure under test), so ``sf_dir`` is unused."""
+    from ccrawler_spark.fixtures.gen import (
+        ensure_corpus_layout, ensure_fixtures,
+    )
+    from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
+
+    fdir = ensure_fixtures("tiny")
+    layout = str(ensure_corpus_layout(spark, fdir))
+    hosts, ids = _pruned_read_schedule()
+    return pruned_corpus_arrow(spark, layout, hosts=hosts, ids=ids).select(
+        "image_id", "w", "h", "fmt", "phash",
+        F.length("bytes").cast("long").alias("bytes_len"), "caption",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: priority-dequeue surrogate (the scheduler's O26 heart)
     on sf0.001."""
@@ -392,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_pairs": q_simhash_near_pairs,
         "phash_near_pairs": q_phash_near_pairs,
+        "pruned_corpus_read": q_pruned_corpus_read,
     }
 
 
@@ -534,6 +580,16 @@ def oracle_sql() -> dict[str, str]:
               LATERAL (SELECT {band_bucket} AS bucket)
               QUALIFY count(*) OVER (PARTITION BY band, bucket)
                       <= {LSH_BUCKET_CAP}"""
+
+    # pruned-read gate twin: the FLAT tiny-fixture corpus under the
+    # same deterministic image_id schedule. The fixture generator is
+    # pyarrow-only, so calling it here makes the oracle self-contained
+    # whichever side the driver happens to run first.
+    from ccrawler_spark.fixtures.gen import ensure_fixtures
+
+    _flat_corpus = (ensure_fixtures("tiny") / "corpus.parquet").as_posix()
+    _, _sched_ids = _pruned_read_schedule()
+    _id_list = ", ".join(f"'{i}'" for i in sorted(_sched_ids))
 
     return {
         "topk_per_group": """
@@ -848,5 +904,12 @@ def oracle_sql() -> dict[str, str]:
             FROM hp
             JOIN s sa ON sa.simhash = hp.ha
             JOIN s sb ON sb.simhash = hp.hb
+        """,
+        "pruned_corpus_read": f"""
+            SELECT image_id, w, h, fmt, phash,
+                   CAST(octet_length(bytes) AS BIGINT) AS bytes_len,
+                   caption
+            FROM read_parquet('{_flat_corpus}')
+            WHERE image_id IN ({_id_list})
         """,
     }

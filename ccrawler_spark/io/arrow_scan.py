@@ -1,0 +1,181 @@
+"""Set-based pruned corpus scan: a pyarrow reader behind ``mapInArrow``
+that breaks the 4,096-value id-pushdown cap (VERDICT r5 #2).
+
+Why this exists: Spark's parquet datasource expands an ``IN`` filter
+above ``spark.sql.parquet.pushdown.inFilterThreshold`` into a left-deep
+``Or`` tree; at ~10k values the JVM overflows its stack evaluating it
+(measured r5 negative result — docs/SCALING.md round 5 #2), so the
+JVM pruned read (io/corpus_layout.pruned_corpus) caps id-level
+skipping at ``ID_PUSHDOWN_CAP = 4096``. That cap sits exactly below
+the design-scale sweet spot (round budget K ≈ 10⁵ over a 10¹⁰-row
+corpus). This reader evaluates set membership the obvious way — a
+sorted list + bisect per row-group statistic, a hash-set ``is_in``
+kernel per value vector — with zero expression recursion, so the cap
+rises to ``ARROW_PUSHDOWN_CAP`` (128k) limited only by the broadcast
+size of the key sets (a few MB).
+
+Execution shape (all distributed, nothing driver-side but the file
+list):
+
+- **partition pruning** — the scheduled hosts' bucket-prefixed keys
+  name their ``host_bucket=`` directories directly (top 7 bits), so
+  only those directories' files enter the scan;
+- **row-group skipping** — each task reads its files' FOOTERS and
+  keeps a row group only if some scheduled host_key lands in its
+  [min,max] AND (when ids are pushed) some scheduled image_id lands in
+  its id range — the same admission rule the JVM reader applies, minus
+  the Or tree (bisect over the sorted key list, O(log n) per group);
+- **exact residual filter** — admitted groups are read via
+  ``read_row_groups`` and filtered with vectorized ``pc.is_in``
+  (hash-set semijoin in Arrow C++), so the rows crossing into the JVM
+  are exactly the scheduled ones — at 100 TB the bytes moved track the
+  schedule, not the touch fraction;
+- the filtered Arrow batches stream to the JVM through ``mapInArrow``
+  (one boundary crossing, no pandas round-trip, payload column moved
+  zero-copy).
+
+The result is identical to ``spark.read.parquet(layout)`` filtered by
+the same predicates — pinned by tests/test_corpus_layout.py byte
+equality and the ``pruned_corpus_read`` driver gate (DuckDB twin over
+the flat corpus).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from ccrawler_spark.io.corpus_layout import (
+    META_FILE, host_key_py, read_layout_meta,
+)
+
+# the set-based pushdown bound: above this the broadcast key set stops
+# being "schedule metadata" (128k ids ≈ 2 MB pickled) and the engine
+# falls back to host-only / wide-split JVM pruning. Tests override the
+# engine's copy (CrawlEngine.arrow_pushdown_cap); physical planning
+# only — results identical either way.
+ARROW_PUSHDOWN_CAP = 131072
+
+
+def pruned_corpus_arrow(
+    spark: SparkSession,
+    path: str,
+    hosts=None,
+    ids=None,
+) -> DataFrame:
+    """Layout scan with set-based host/id pushdown (module docstring).
+    Semantics match :func:`ccrawler_spark.io.corpus_layout
+    .pruned_corpus` exactly: sound for the fetch join (pruning can
+    only drop rows that cannot match any scheduled row), output schema
+    identical to ``spark.read.parquet(path)`` (data columns + the
+    ``host_bucket`` partition column)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    meta = read_layout_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"corpus layout at {path} has no {META_FILE}: cannot compute "
+            "host_key pushdown values without the bucket count it was "
+            "written with"
+        )
+    b = int(meta["buckets"])
+    keys = (sorted(host_key_py(h, b) for h in hosts)
+            if hosts is not None else None)
+    ids_l = sorted(ids) if ids is not None else None
+    root = pathlib.Path(path)
+    # bucket partition pruning, driver-side from the directory names —
+    # the bucket IS the key's top 7 bits, so no separate bucket list
+    sel = {k >> 57 for k in keys} if keys is not None else None
+    files = []
+    for bdir in sorted(root.glob("host_bucket=*")):
+        bk = int(bdir.name.split("=", 1)[1])
+        if sel is not None and bk not in sel:
+            continue
+        files.extend((str(pf), bk) for pf in sorted(bdir.glob("*.parquet")))
+
+    any_file = files[0][0] if files else next(
+        iter(sorted(root.glob("host_bucket=*/*.parquet"))), None
+    )
+    if any_file is None:
+        raise ValueError(f"corpus layout at {path} has no parquet files")
+    base = from_arrow_schema(pq.read_schema(str(any_file)))
+    out_schema = StructType(
+        list(base.fields) + [StructField("host_bucket", IntegerType())]
+    )
+    if not files:  # scheduled buckets have no files: statically empty
+        return spark.createDataFrame([], out_schema)
+
+    # ship the key sets once per executor (torrent broadcast), not once
+    # per task closure — at the 128k cap they are ~2 MB pickled
+    bc = spark.sparkContext.broadcast((keys, ids_l))
+
+    def scan(batches):
+        import bisect
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        keys_l, idsv = bc.value
+        key_arr = pa.array(keys_l, pa.int64()) if keys_l is not None else None
+        id_arr = pa.array(idsv, pa.string()) if idsv is not None else None
+
+        def admits(srt, st):
+            # absent stats cannot prove a skip — keep the group
+            if st is None or st.min is None or st.max is None:
+                return True
+            lo = bisect.bisect_left(srt, st.min)
+            return lo < len(srt) and srt[lo] <= st.max
+
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            bks = batch.column("bucket").to_pylist()
+            for fp, bk in zip(paths, bks):
+                f = pq.ParquetFile(fp)
+                md = f.metadata
+                if md.num_row_groups == 0:
+                    continue
+                cols = {
+                    md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.row_group(0).num_columns)
+                }
+                groups = []
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    if keys_l is not None and not admits(
+                        keys_l, g.column(cols["host_key"]).statistics
+                    ):
+                        continue
+                    if idsv is not None and not admits(
+                        idsv, g.column(cols["image_id"]).statistics
+                    ):
+                        continue
+                    groups.append(rg)
+                if not groups:
+                    continue
+                t = f.read_row_groups(groups)
+                mask = None
+                if key_arr is not None:
+                    mask = pc.is_in(t.column("host_key"), value_set=key_arr)
+                if id_arr is not None:
+                    m2 = pc.is_in(t.column("image_id"), value_set=id_arr)
+                    mask = m2 if mask is None else pc.and_(mask, m2)
+                if mask is not None:
+                    t = t.filter(mask)
+                if t.num_rows == 0:
+                    continue
+                t = t.append_column(
+                    "host_bucket",
+                    pa.array(np.full(t.num_rows, bk, dtype=np.int32)),
+                )
+                yield from t.to_batches()
+
+    files_df = spark.createDataFrame(files, "path string, bucket int")
+    n_parts = max(
+        1, min(len(files), spark.sparkContext.defaultParallelism)
+    )
+    return files_df.repartition(n_parts).mapInArrow(scan, out_schema)

@@ -83,6 +83,12 @@ class CrawlEngine:
 
             assert_layout_compatible(corpus_layout, conf.host_buckets)
         self.corpus_layout = corpus_layout
+        # set-based pushdown bound (io/arrow_scan) — an engine attribute
+        # (not CrawlConf: physical planning only, results identical) so
+        # tests can pin a regime; 0 disables the arrow scan entirely
+        from ccrawler_spark.io.arrow_scan import ARROW_PUSHDOWN_CAP
+
+        self.arrow_pushdown_cap = ARROW_PUSHDOWN_CAP
         self.hosts = hosts
         self.H = hosts.count()
         self.robots_active = stages.robots_active(robots, conf.robots_version).cache()
@@ -609,18 +615,28 @@ class CrawlEngine:
         frame) — same class as the intentional lineage collect, not
         data movement.
 
-        When the host pushdown applies but the full id set exceeds
-        ID_PUSHDOWN_CAP, the layout metadata's wide-host list enables a
-        TWO-SCAN SPLIT (r5): narrow hosts keep host-only pruning, and
-        the wide (Zipf-head) hosts — whose sorted runs span many row
-        groups that a host filter alone cannot skip inside — push their
-        own scheduled ids, a set bounded by |wide| × per_host_k (a free
-        driver-side bound, checked before the extra bounded collect
-        runs).
+        When the full id set exceeds ID_PUSHDOWN_CAP but fits
+        ARROW_PUSHDOWN_CAP (128k — r6), the plan switches to the
+        SET-BASED ARROW SCAN (io/arrow_scan): bisect/hash-set
+        membership instead of the JVM's Or-tree filter, so host AND id
+        row-group skipping both survive far past the JVM cap — this
+        covers the design-scale sweet spot (K ≈ 10⁵). The id collect is
+        bounded by the arrow cap (≤ 128k rows ≈ 2 MB — still schedule
+        metadata, the documented bounded-collect class, just a larger
+        bound than the ≤ 4096-row JVM one).
+
+        Beyond the arrow cap, the layout metadata's wide-host list
+        enables a TWO-SCAN SPLIT (r5): narrow hosts keep host-only
+        pruning, and the wide (Zipf-head) hosts — whose sorted runs
+        span many row groups that a host filter alone cannot skip
+        inside — push their own scheduled ids, a set bounded by
+        |wide| × per_host_k (a free driver-side bound, checked before
+        the extra bounded collect runs).
 
         Returns (sched_counts, push) where push is None (no layout /
         no pushdown pays) or a dict:
           {"hosts": set|None, "ids": set|None}              — one scan
+          {"hosts": set, "ids": set, "arrow": True}         — set-based
           {"narrow": set, "wide": set, "wide_ids": set}     — split"""
         from collections import Counter
         from math import ceil
@@ -636,21 +652,29 @@ class CrawlEngine:
             if self.corpus_layout is None or not rows:
                 return counts, None
             hosts = {r["host"] for r in rows}
+            ids = {r["image_id"] for r in rows}
             if len(hosts) > HOST_PUSHDOWN_CAP:
+                # too many distinct hosts for the JVM Or-tree filter;
+                # the set-based scan has no such limit
+                if len(hosts) <= self.arrow_pushdown_cap:
+                    return counts, {"hosts": hosts, "ids": ids,
+                                    "arrow": True}
                 hosts = None
-            return counts, {"hosts": hosts, "ids": {r["image_id"] for r in rows}}
+            return counts, {"hosts": hosts, "ids": ids}
 
         counts = self._bucket_counts(scheduled)
         if self.corpus_layout is None:
             return counts, None
         n = sum(counts.values())
+        if not n:
+            return counts, None
         hosts = ids = None
-        if n and ceil(n / self.conf.per_host_k) <= HOST_PUSHDOWN_CAP:
+        if ceil(n / self.conf.per_host_k) <= HOST_PUSHDOWN_CAP:
             if n <= ID_PUSHDOWN_CAP:
                 rows = scheduled.select("host", "image_id").collect()
                 hosts = {r["host"] for r in rows}
                 ids = {r["image_id"] for r in rows}
-            else:
+            elif n > self.arrow_pushdown_cap:
                 rows = (
                     scheduled.select("host").distinct()
                     .limit(HOST_PUSHDOWN_CAP + 1).collect()
@@ -659,6 +683,16 @@ class CrawlEngine:
                     hosts = {r["host"] for r in rows}
             if hosts is not None and len(hosts) > HOST_PUSHDOWN_CAP:
                 hosts = None
+        if n > ID_PUSHDOWN_CAP and n <= self.arrow_pushdown_cap:
+            # set-based scan regime: collect the full (host, id)
+            # schedule metadata (bounded by the arrow cap) and push
+            # both sets through the bisect/hash-set reader
+            rows = scheduled.select("host", "image_id").collect()
+            return counts, {
+                "hosts": {r["host"] for r in rows},
+                "ids": {r["image_id"] for r in rows},
+                "arrow": True,
+            }
         if hosts is None:
             return counts, None
         if ids is not None:
@@ -688,10 +722,16 @@ class CrawlEngine:
         if self.corpus_layout is None:
             return self.corpus
         from ccrawler_spark.functions.hashing import umod, xxhash64_str
+        from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
         from ccrawler_spark.io.corpus_layout import (
             pruned_corpus, pruned_corpus_split,
         )
 
+        if push is not None and push.get("arrow"):
+            return pruned_corpus_arrow(
+                self.spark, self.corpus_layout,
+                hosts=push["hosts"], ids=push["ids"],
+            )
         if push is not None and "narrow" in push:
             return pruned_corpus_split(
                 self.spark, self.corpus_layout,

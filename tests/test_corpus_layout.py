@@ -279,6 +279,9 @@ def test_sched_metadata_plans_wide_split(spark, tiny_fixtures, layout_dir):
     conf = CrawlConf(round_budget=8192, per_host_k=64)
     engine, _ = make_engine(spark, str(tiny_fixtures), out, conf=conf,
                             corpus_layout=lay)
+    # pin the JVM-split regime: with the set-based arrow scan enabled
+    # (r6 default) this schedule size would plan the arrow path instead
+    engine.arrow_pushdown_cap = 0
     # > ID_PUSHDOWN_CAP total rows so the full id set cannot push, but
     # the wide host's share can (free bound |wide| x per_host_k)
     rows = [
@@ -310,7 +313,98 @@ def test_sched_metadata_plans_wide_split(spark, tiny_fixtures, layout_dir):
     conf2 = CrawlConf(round_budget=8192, per_host_k=64)
     engine2, _ = make_engine(spark, str(tiny_fixtures), out, conf=conf2,
                              corpus_layout=lay)
+    engine2.arrow_pushdown_cap = 0
     _, push2 = engine2._sched_metadata(big)
     # host-only plan: 200 wide hosts x 64 = 12,800 ids breaks the bound
     assert push2 is not None and "narrow" not in push2
     assert push2["ids"] is None and len(push2["hosts"]) == 200
+
+
+def test_arrow_scan_matches_jvm_and_flat(spark, tiny_fixtures, layout_dir):
+    """r6 set-based reader (io/arrow_scan): for the same (hosts, ids)
+    predicates, pruned_corpus_arrow must return exactly the JVM pruned
+    scan's rows — and both must equal the flat corpus filtered by id —
+    in every mode (hosts+ids, hosts-only, ids-only)."""
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+    from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
+    from ccrawler_spark.io.corpus_layout import pruned_corpus
+
+    url_map = universe_urls_df(spark, str(tiny_fixtures)).select(
+        image_id_of(F.col("url")).alias("image_id"), "host"
+    )
+    hosts = {"h0.example", "h5.example", "h19.example"}
+    ids = {
+        r["image_id"]
+        for r in url_map.filter(F.col("host").isin(sorted(hosts)))
+        .select("image_id").limit(40).collect()
+    }
+    cols = ["image_id", "fmt", "phash", "host_bucket"]
+    for kw in ({"hosts": hosts, "ids": ids}, {"hosts": hosts},
+               {"ids": ids}):
+        a = pruned_corpus_arrow(spark, layout_dir, **kw).select(*cols)
+        j = pruned_corpus(spark, layout_dir, **kw).select(*cols)
+        assert _sorted_rows(a) == _sorted_rows(j), f"mode {set(kw)}"
+    # and the schema is interchangeable with the JVM layout scan
+    assert (
+        pruned_corpus_arrow(spark, layout_dir, hosts=hosts).schema
+        == spark.read.parquet(layout_dir).schema
+    )
+    # ids-only mode equals the flat corpus filtered by id (end-to-end
+    # value proof against the un-laid-out source of truth)
+    flat = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+    got = pruned_corpus_arrow(spark, layout_dir, ids=ids).select(
+        "image_id", "fmt", "phash"
+    )
+    want = flat.filter(F.col("image_id").isin(sorted(ids))).select(
+        "image_id", "fmt", "phash"
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_sched_metadata_plans_arrow_scan(spark, tiny_fixtures, layout_dir):
+    """Engine planning (r6): a schedule whose id set exceeds
+    ID_PUSHDOWN_CAP but fits the arrow cap plans the set-based scan —
+    full host AND id sets, no Or-tree, no split."""
+    from ccrawler_spark.conf import CrawlConf
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    out = tempfile.mkdtemp(prefix="arrowplan-")
+    conf = CrawlConf(round_budget=8192, per_host_k=64)
+    engine, _ = make_engine(spark, str(tiny_fixtures), out, conf=conf,
+                            corpus_layout=layout_dir)
+    sched = spark.createDataFrame(
+        [(f"h{i % 100}.example", f"{i:016x}", i % 64) for i in range(4200)],
+        "host string, image_id string, host_bucket int",
+    )
+    counts, push = engine._sched_metadata(sched)
+    assert sum(counts.values()) == 4200
+    assert push is not None and push.get("arrow") is True
+    assert len(push["ids"]) == 4200 and len(push["hosts"]) == 100
+    df = engine._corpus_side(counts, push)
+    assert "image_id" in df.columns and "host_bucket" in df.columns
+    # above the arrow cap the plan falls back to the JVM host-only path
+    engine.arrow_pushdown_cap = 4100
+    _, push2 = engine._sched_metadata(sched)
+    assert push2 is not None and not push2.get("arrow")
+
+
+def test_engine_parity_arrow_path(spark, tiny_fixtures, layout_dir,
+                                  monkeypatch):
+    """End-to-end byte equality through the arrow fetch path: shrink
+    ID_PUSHDOWN_CAP so every round's schedule overflows the JVM cap and
+    routes through pruned_corpus_arrow, then compare fetch_log and
+    frontier against the flat-corpus run."""
+    from ccrawler_spark.io import corpus_layout as cl
+
+    monkeypatch.setattr(cl, "ID_PUSHDOWN_CAP", 4)
+    s_flat = _run(spark, tiny_fixtures)
+    s_arrow = _run(spark, tiny_fixtures, corpus_layout=layout_dir)
+    n = s_flat.latest()
+    assert s_arrow.latest() == n
+    assert _sorted_rows(s_flat.read_fetch_log(n)) == _sorted_rows(
+        s_arrow.read_fetch_log(n)
+    )
+    assert _sorted_rows(s_flat.read_frontier(n)) == _sorted_rows(
+        s_arrow.read_frontier(n)
+    )
