@@ -357,11 +357,12 @@ def q_phash_near_pairs(spark, sf_dir):
     )
 
 
-def _pruned_read_schedule() -> tuple[set, set]:
+def _pruned_read_schedule() -> dict[str, set]:
     """Deterministic fixed schedule for the pruned-read gate (pure
     Python — both the Spark query and the DuckDB oracle derive the
     same sets): the first min(pages, 25) pages of every 3rd tiny-
-    fixture host."""
+    fixture host, as the (host → its ids) pairing the engine's arrow
+    plan pushes (host-scoped row-group admission, r6)."""
     from ccrawler_spark.fixtures import corpus as corpus_mod
     from ccrawler_spark.fixtures.gen import (
         SIZES, host_name, page_allocation,
@@ -369,13 +370,14 @@ def _pruned_read_schedule() -> tuple[set, set]:
 
     H, U, _, _ = SIZES["tiny"]
     pages = page_allocation(H, U)
-    hosts, ids = set(), set()
+    sched: dict[str, set] = {}
     for i in range(0, H, 3):
         h = host_name(i)
-        hosts.add(h)
-        for j in range(min(int(pages[i]), 25)):
-            ids.add(corpus_mod.image_id(f"http://{h}/p/{j}"))
-    return hosts, ids
+        sched[h] = {
+            corpus_mod.image_id(f"http://{h}/p/{j}")
+            for j in range(min(int(pages[i]), 25))
+        }
+    return sched
 
 
 def q_pruned_corpus_read(spark, sf_dir):
@@ -395,8 +397,9 @@ def q_pruned_corpus_read(spark, sf_dir):
 
     fdir = ensure_fixtures("tiny")
     layout = str(ensure_corpus_layout(spark, fdir))
-    hosts, ids = _pruned_read_schedule()
-    return pruned_corpus_arrow(spark, layout, hosts=hosts, ids=ids).select(
+    return pruned_corpus_arrow(
+        spark, layout, host_ids=_pruned_read_schedule()
+    ).select(
         "image_id", "w", "h", "fmt", "phash",
         F.length("bytes").cast("long").alias("bytes_len"), "caption",
     )
@@ -588,7 +591,9 @@ def oracle_sql() -> dict[str, str]:
     from ccrawler_spark.fixtures.gen import ensure_fixtures
 
     _flat_corpus = (ensure_fixtures("tiny") / "corpus.parquet").as_posix()
-    _, _sched_ids = _pruned_read_schedule()
+    _sched_ids = {
+        i for v in _pruned_read_schedule().values() for i in v
+    }
     _id_list = ", ".join(f"'{i}'" for i in sorted(_sched_ids))
 
     return {

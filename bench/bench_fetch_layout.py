@@ -59,7 +59,8 @@ def scheduled_for_hosts(spark, fdir: str, step: int, k: int):
 def rowgroup_histogram(layout: str, hosts: set[str] | None,
                        wide: set[str] | None = None,
                        wide_ids: set[str] | None = None,
-                       ids: set[str] | None = None):
+                       ids: set[str] | None = None,
+                       host_ids: dict[str, set[str]] | None = None):
     """(touched, total) row groups the pruned scan would read — the
     metadata-level skipping bound. hosts=None means the dense all-hosts
     schedule (every group touched by definition). The layout clusters
@@ -69,9 +70,13 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
     measured r5. With a wide-host split, a group admitted ONLY by a
     wide host's key must additionally contain one of its scheduled
     image_ids (the id stats are tight inside a sorted run). With a
-    global ``ids`` set (the arrow set-based reader, which ANDs the
-    host_key and image_id filters for every group), an admitted group
-    must also contain one scheduled id. The bucket count comes from
+    global ``ids`` set (arrow reader, global AND of the host_key and
+    image_id admissions), an admitted group must also contain one
+    scheduled id. With ``host_ids`` (the engine's actual arrow mode,
+    r6), the id test is HOST-SCOPED: a group is admitted only if some
+    scheduled host key in its key range has one of ITS OWN ids in the
+    group's id range — mirroring arrow_scan's admits_scoped exactly.
+    The bucket count comes from
     the layout's own metadata sidecar, not a hard-coded constant — a
     layout written with different bucketing would otherwise silently
     produce a bogus histogram (ADVICE r5)."""
@@ -94,6 +99,13 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
     srt_w = sorted(host_key_py(h, b) for h in wide) if wide else None
     srt_wi = sorted(wide_ids) if wide_ids else None
     srt_ids = sorted(ids) if ids else None
+    by_key = None
+    if host_ids is not None:
+        by_key = {}
+        for h, v in host_ids.items():
+            by_key.setdefault(host_key_py(h, b), []).extend(v)
+        by_key = {k: sorted(v) for k, v in by_key.items()}
+        srt_n = sorted(by_key)
     for pf in pathlib.Path(layout).glob("host_bucket=*/*.parquet"):
         md = pq.ParquetFile(pf).metadata
         cols = {
@@ -104,6 +116,13 @@ def rowgroup_histogram(layout: str, hosts: set[str] | None,
             st = md.row_group(rg).column(cols["host_key"]).statistics
             sti = md.row_group(rg).column(cols["image_id"]).statistics
             total += 1
+            if by_key is not None:
+                lo = bisect.bisect_left(srt_n, st.min)
+                hi = bisect.bisect_right(srt_n, st.max, lo)
+                if any(_admits(by_key[k], sti.min, sti.max)
+                       for k in srt_n[lo:hi]):
+                    touched += 1
+                continue
             if srt_ids is not None and not _admits(srt_ids, sti.min, sti.max):
                 continue  # the global AND id filter alone skips it
             if srt_n is None:
@@ -202,6 +221,36 @@ def main():
         flat_walls = time_fetch(spark, sched, flat)
         layout_walls = time_fetch(spark, sched, pruned)
         touched, total = rowgroup_histogram(layout, hosts, wide, wide_ids)
+        if regime == "sparse":
+            # r6 set-based scan (io/arrow_scan): the engine's actual
+            # plan for this schedule size now — the full (host → ids)
+            # pairing pushed past the JVM Or-tree cap, id admission
+            # scoped per host. The JVM wide-split numbers above remain
+            # as the >ARROW_PUSHDOWN_CAP fallback.
+            from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
+
+            pairs = sched.select("host", "image_id").collect()
+            h_ids: dict[str, set] = {}
+            for r in pairs:
+                h_ids.setdefault(r["host"], set()).add(r["image_id"])
+            arrow = pruned_corpus_arrow(spark, layout, host_ids=h_ids)
+            arrow_walls = time_fetch(spark, sched, arrow)
+            t_a, tot_a = rowgroup_histogram(layout, None, host_ids=h_ids)
+            out["sparse_arrow"] = {
+                "scheduled_rows": n,
+                "pushed_ids": len({r["image_id"] for r in pairs}),
+                "flat_wall_s": flat_walls,
+                "arrow_wall_s": arrow_walls,
+                "speedup_warm_vs_flat": round(
+                    flat_walls[-1] / arrow_walls[-1], 2
+                ),
+                "speedup_warm_vs_jvm_split": round(
+                    layout_walls[-1] / arrow_walls[-1], 2
+                ),
+                "rowgroups_touched": t_a,
+                "rowgroups_total": tot_a,
+                "rowgroup_touch_frac": round(t_a / tot_a, 4),
+            }
         out[regime] = {
             "scheduled_rows": n,
             "scheduled_hosts": len(hosts) if hosts else "all",

@@ -45,6 +45,15 @@ BLOOM_SCHEMA = StructType([
 ])
 
 
+def _pair_ids(rows) -> dict[str, set[str]]:
+    """(host, image_id) schedule rows → {host: its scheduled ids} for
+    the arrow reader's host-scoped row-group admission."""
+    out: dict[str, set[str]] = {}
+    for r in rows:
+        out.setdefault(r["host"], set()).add(r["image_id"])
+    return out
+
+
 @dataclass
 class RoundStats:
     round: int
@@ -214,7 +223,10 @@ class CrawlEngine:
         the call to race a retry of the same round (ADVICE r5)."""
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=4)
+        # one pool for the whole round (metadata collect, delta writes,
+        # compactions — was three pools r5, whose with-block barriers
+        # also serialized driver work behind executor writes)
+        pool = ThreadPoolExecutor(max_workers=8)
         try:
             return self._run_round_body(r, pool)
         finally:
@@ -323,8 +335,6 @@ class CrawlEngine:
         # DataFrame objects, never the collect results — serializing it
         # behind the collect was pure added wall. (`pool` is owned by
         # run_round's try/finally — see its docstring.)
-        from concurrent.futures import ThreadPoolExecutor
-
         sched_meta = pool.submit(self._sched_metadata, scheduled)
 
         # 7-10. discovery → scope → in-round dedup → seen dedup
@@ -484,42 +494,32 @@ class CrawlEngine:
         n_fresh = sum(fresh_counts.values())
 
         jobs = {}
-        with ThreadPoolExecutor(max_workers=5) as ex:
-            if use_head:
-                jobs["head"] = ex.submit(
-                    store.write_parquet,
-                    head_with_fresh if n_fresh else new_head,
-                    "frontier", f"head-r{r}",
-                )
-            if n_fresh or recrawl is not None:
-                jobs["adds"] = ex.submit(
-                    store.write_parquet, additions, "frontier", f"adds-r{r}",
-                    partition_by=["host_bucket"],
-                )
-            if n_fresh:
-                jobs["seen"] = ex.submit(
-                    store.write_parquet, seen_delta, "seen", f"delta-r{r}",
-                    partition_by=["seen_part"],
-                )
-                jobs["bloom"] = ex.submit(
-                    self._write_bloom_delta, fresh, bloom, r
-                )
-            if removes_job is None and n_fetched + n_denied:
-                jobs["removes"] = ex.submit(
-                    store.write_parquet, removes, "frontier", f"removes-r{r}"
-                )
-        adds_path = jobs["adds"].result() if "adds" in jobs else None
-        seen_path = jobs["seen"].result() if "seen" in jobs else None
-        bloom_path = jobs["bloom"].result() if "bloom" in jobs else None
-        removes_path = (
-            removes_job.result() if removes_job is not None
-            else jobs["removes"].result() if "removes" in jobs else None
-        )
-        head_entry = (
-            {"path": jobs["head"].result(), "since_refill": head_since}
-            if use_head else None
-        )
-        log_job.result()  # fetch_log must be durable before the commit
+        if use_head:
+            jobs["head"] = pool.submit(
+                store.write_parquet,
+                head_with_fresh if n_fresh else new_head,
+                "frontier", f"head-r{r}",
+            )
+        if n_fresh or recrawl is not None:
+            jobs["adds"] = pool.submit(
+                store.write_parquet, additions, "frontier", f"adds-r{r}",
+                partition_by=["host_bucket"],
+            )
+        if n_fresh:
+            jobs["seen"] = pool.submit(
+                store.write_parquet, seen_delta, "seen", f"delta-r{r}",
+                partition_by=["seen_part"],
+            )
+            jobs["bloom"] = pool.submit(
+                self._write_bloom_delta, fresh, bloom, r
+            )
+        if removes_job is None and n_fetched + n_denied:
+            jobs["removes"] = pool.submit(
+                store.write_parquet, removes, "frontier", f"removes-r{r}"
+            )
+        # lineage + the metrics write are pure driver work off counts
+        # already in hand — do them WHILE the delta writes run (r5 had
+        # them serialized behind the write-phase pool barrier)
         new_versions = dict(old_versions)
         for b in fresh_counts:
             new_versions[b] = new_versions.get(b, 0) + 1
@@ -532,6 +532,18 @@ class CrawlEngine:
             recrawled=sched_counts if recrawl is not None else None,
         )
         metrics_path = self._write_metrics(lineage, r)
+        adds_path = jobs["adds"].result() if "adds" in jobs else None
+        seen_path = jobs["seen"].result() if "seen" in jobs else None
+        bloom_path = jobs["bloom"].result() if "bloom" in jobs else None
+        removes_path = (
+            removes_job.result() if removes_job is not None
+            else jobs["removes"].result() if "removes" in jobs else None
+        )
+        head_entry = (
+            {"path": jobs["head"].result(), "since_refill": head_since}
+            if use_head else None
+        )
+        log_job.result()  # fetch_log must be durable before the commit
 
         # delta-chain composition (+ compaction). All three chains are
         # bounded by compact_threshold — without it per-round fixed cost
@@ -546,23 +558,22 @@ class CrawlEngine:
         seen_deltas = prev["seen"]["deltas"] + ([seen_path] if seen_path else [])
         bloom_deltas = prev["bloom"]["deltas"] + ([bloom_path] if bloom_path else [])
         cjobs = {}
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            if len(adds) >= self.store.compact_threshold:
-                composed = store.read_frontier_from(base, adds, removes_list)
-                # same multi-file-per-bucket layout as bootstrap: a
-                # compacted hot bucket must not become a single-file
-                # scan straggler
-                composed = composed.repartition(
-                    256, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
-                )
-                cjobs["frontier"] = ex.submit(
-                    store.write_parquet, composed, "frontier", f"base-r{r}",
-                    partition_by=["host_bucket"],
-                )
-            if len(seen_deltas) >= self.store.compact_threshold:
-                cjobs["seen"] = ex.submit(store.compact_seen, seen_deltas, r)
-            if len(bloom_deltas) >= self.store.compact_threshold:
-                cjobs["bloom"] = ex.submit(store.compact_bloom, bloom_deltas, r)
+        if len(adds) >= self.store.compact_threshold:
+            composed = store.read_frontier_from(base, adds, removes_list)
+            # same multi-file-per-bucket layout as bootstrap: a
+            # compacted hot bucket must not become a single-file
+            # scan straggler
+            composed = composed.repartition(
+                256, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
+            )
+            cjobs["frontier"] = pool.submit(
+                store.write_parquet, composed, "frontier", f"base-r{r}",
+                partition_by=["host_bucket"],
+            )
+        if len(seen_deltas) >= self.store.compact_threshold:
+            cjobs["seen"] = pool.submit(store.compact_seen, seen_deltas, r)
+        if len(bloom_deltas) >= self.store.compact_threshold:
+            cjobs["bloom"] = pool.submit(store.compact_bloom, bloom_deltas, r)
         if "frontier" in cjobs:
             base = cjobs["frontier"].result()
             adds, removes_list = [], []
@@ -658,6 +669,7 @@ class CrawlEngine:
                 # the set-based scan has no such limit
                 if len(hosts) <= self.arrow_pushdown_cap:
                     return counts, {"hosts": hosts, "ids": ids,
+                                    "host_ids": _pair_ids(rows),
                                     "arrow": True}
                 hosts = None
             return counts, {"hosts": hosts, "ids": ids}
@@ -686,11 +698,14 @@ class CrawlEngine:
         if n > ID_PUSHDOWN_CAP and n <= self.arrow_pushdown_cap:
             # set-based scan regime: collect the full (host, id)
             # schedule metadata (bounded by the arrow cap) and push
-            # both sets through the bisect/hash-set reader
+            # the HOST-SCOPED pairing through the bisect reader — the
+            # per-host id sets keep row-group skipping effective as
+            # the global id count grows (arrow_scan docstring, r6)
             rows = scheduled.select("host", "image_id").collect()
             return counts, {
                 "hosts": {r["host"] for r in rows},
                 "ids": {r["image_id"] for r in rows},
+                "host_ids": _pair_ids(rows),
                 "arrow": True,
             }
         if hosts is None:
@@ -730,7 +745,7 @@ class CrawlEngine:
         if push is not None and push.get("arrow"):
             return pruned_corpus_arrow(
                 self.spark, self.corpus_layout,
-                hosts=push["hosts"], ids=push["ids"],
+                host_ids=push["host_ids"],
             )
         if push is not None and "narrow" in push:
             return pruned_corpus_split(

@@ -345,6 +345,19 @@ def test_arrow_scan_matches_jvm_and_flat(spark, tiny_fixtures, layout_dir):
         a = pruned_corpus_arrow(spark, layout_dir, **kw).select(*cols)
         j = pruned_corpus(spark, layout_dir, **kw).select(*cols)
         assert _sorted_rows(a) == _sorted_rows(j), f"mode {set(kw)}"
+    # host-scoped mode (the engine's arrow plan): the (host → ids)
+    # pairing must return exactly the global hosts+ids rows — scoping
+    # only sharpens row-group SKIPPING, never the row set
+    pair_rows = url_map.filter(
+        F.col("host").isin(sorted(hosts))
+        & F.col("image_id").isin(sorted(ids))
+    ).collect()
+    h_ids: dict[str, set] = {}
+    for r in pair_rows:
+        h_ids.setdefault(r["host"], set()).add(r["image_id"])
+    a = pruned_corpus_arrow(spark, layout_dir, host_ids=h_ids).select(*cols)
+    j = pruned_corpus(spark, layout_dir, hosts=hosts, ids=ids).select(*cols)
+    assert _sorted_rows(a) == _sorted_rows(j), "host-scoped mode"
     # and the schema is interchangeable with the JVM layout scan
     assert (
         pruned_corpus_arrow(spark, layout_dir, hosts=hosts).schema
@@ -381,6 +394,9 @@ def test_sched_metadata_plans_arrow_scan(spark, tiny_fixtures, layout_dir):
     assert sum(counts.values()) == 4200
     assert push is not None and push.get("arrow") is True
     assert len(push["ids"]) == 4200 and len(push["hosts"]) == 100
+    # the host-scoped pairing rides along for admits_scoped
+    assert set(push["host_ids"]) == push["hosts"]
+    assert sum(len(v) for v in push["host_ids"].values()) == 4200
     df = engine._corpus_side(counts, push)
     assert "image_id" in df.columns and "host_bucket" in df.columns
     # above the arrow cap the plan falls back to the JVM host-only path
