@@ -5,7 +5,7 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. 28 queries, 27 with a DuckDB oracle (value-checked; the one
+cleanly. 29 queries, 28 with a DuckDB oracle (value-checked; the one
 exception, trained-IVF ANN, is rows-only by declared necessity — see
 its docstring): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
@@ -357,6 +357,39 @@ def q_phash_near_pairs(spark, sf_dir):
     )
 
 
+def q_phash_near_pairs_star(spark, sf_dir):
+    """``exact_pairs='star'`` bounded-cluster mode of O18 (VERDICT r5
+    optional #7 — was pytest-only): same planted near-dup twins as
+    ``phash_near_pairs``, plus THREE exact copies of every base
+    fingerprint (ids +200000/+300000), making size-3 identical-
+    fingerprint clusters where star's O(m) representative edges
+    (min-member ↔ other) genuinely differ from all-pairs O(m²) — a
+    size-2 cluster would emit the same single edge either way. The
+    DuckDB twin derives the same min-member stars, value-checking the
+    mode's semantics, not just its row count."""
+    from ccrawler_spark.textops.dedup import phash_near_pairs
+    from ccrawler_spark.textops.hashing import phash60
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", phash60(F.col("text")).alias("phash")
+    )
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    copies = [
+        base.select((F.col("doc_id") + k).alias("doc_id"), "phash")
+        for k in (200000, 300000)
+    ]
+    pool = base.unionByName(mutated)
+    for c in copies:
+        pool = pool.unionByName(c)
+    return phash_near_pairs(
+        pool, id_col="doc_id", phash_col="phash", max_hamming=6,
+        exact_pairs="star",
+    )
+
+
 def _pruned_read_schedule() -> dict[str, set]:
     """Deterministic fixed schedule for the pruned-read gate (pure
     Python — both the Spark query and the DuckDB oracle derive the
@@ -440,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_near_pairs": q_simhash_near_pairs,
         "phash_near_pairs": q_phash_near_pairs,
+        "phash_near_pairs_star": q_phash_near_pairs_star,
         "pruned_corpus_read": q_pruned_corpus_read,
     }
 
@@ -871,6 +905,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT) AS hamming
             FROM p a JOIN p b
               ON a.phash = b.phash AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                   greatest(ma.doc_id, mb.doc_id) AS id_b, hp.hamming
+            FROM hp
+            JOIN p ma ON ma.phash = hp.ha
+            JOIN p mb ON mb.phash = hp.hb
+        """,
+        "phash_near_pairs_star": f"""
+            WITH p AS (
+              SELECT doc_id, {_h('text')} AS phash FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, xor({_h('text')}, 3) FROM documents
+              UNION ALL
+              SELECT doc_id + 200000, {_h('text')} FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, {_h('text')} FROM documents
+            ),
+            d AS (SELECT DISTINCT phash FROM p),
+            banded AS (
+              SELECT phash, band, (phash >> (16 * band)) & 65535 AS key
+              FROM d, (VALUES (0), (1), (2), (3)) AS bb(band)
+              QUALIFY count(*) OVER (PARTITION BY band,
+                      (phash >> (16 * band)) & 65535) <= {BAND_CAP}
+            ),
+            hp AS (
+              SELECT DISTINCT a.phash AS ha, b.phash AS hb,
+                     CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.key = b.key AND a.phash < b.phash
+              WHERE bit_count(xor(a.phash, b.phash)) <= 6
+            ),
+            reps AS (
+              SELECT phash, min(doc_id) AS rep
+              FROM p GROUP BY phash HAVING count(*) > 1
+            )
+            SELECT r.rep AS id_a, p.doc_id AS id_b, CAST(0 AS INT) AS hamming
+            FROM p JOIN reps r USING (phash) WHERE p.doc_id <> r.rep
             UNION ALL
             SELECT least(ma.doc_id, mb.doc_id) AS id_a,
                    greatest(ma.doc_id, mb.doc_id) AS id_b, hp.hamming

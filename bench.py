@@ -39,7 +39,8 @@ HEADLINE = [
     "rollup_metrics", "hot_key_detection", "asof_latest", "set_union",
     "broadcast_dim_join", "bucket_histogram", "dedup_exact",
     "minhash_signatures", "lsh_candidate_pairs", "ngram_jaccard_pairs",
-    "simhash", "simhash_near_pairs", "phash_near_pairs", "token_stats",
+    "simhash", "simhash_near_pairs", "phash_near_pairs",
+    "phash_near_pairs_star", "token_stats",
     "quality_score", "lang_id", "training_corpus_select", "fingerprint",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh", "ann_cosine_topk_ivf",
