@@ -29,6 +29,17 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+def loadavg() -> list[float]:
+    """1-/5-/15-min load, recorded into every sample so the artifact
+    carries its own noise provenance (two rounds of committed BENCH
+    numbers were dominated by ambient neighbor load — VERDICT r5)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:  # pragma: no cover - non-Linux
+        return []
+
+
 # 4 timed rounds = exactly one full head-cache cycle (head_multiple=4:
 # three head-served rounds + the refill round that pays the full
 # frontier composition) — the steady-state amortization, nothing hidden
@@ -148,7 +159,10 @@ def orchestrate(levels=(8, 32)) -> None:
         ensure_corpus_layout(s, ensure_bench_fixtures(s))
         s.stop()
     results = {}
+    level_loads = {}
+    load_start = loadavg()
     for cores in levels:
+        level_loads[str(cores)] = loadavg()
         jp = bench_dir / f"bench_local{cores}.json"
         p = subprocess.run(
             [sys.executable, str(REPO / "bench" / "run_bench.py"),
@@ -171,19 +185,97 @@ def orchestrate(levels=(8, 32)) -> None:
         )
         if len(lv) > 1 else None
     )
+    # --- sample history: every orchestrator run appends ONE sample;
+    # the committed claim (summary.json / BASELINE.md) is the per-level
+    # MEDIAN across compatible samples, never the latest/best run.
+    # Throughput on this shared box varies ~±8% run-to-run with ambient
+    # load; a single sample produced two rounds of noise disputes
+    # (VERDICT r5 "what's wrong" #1-2).
+    sample = {
+        "ts": time.time(),
+        "loadavg": {"start": load_start, "per_level": level_loads,
+                    "end": loadavg()},
+        "levels": {
+            str(c): {
+                "urls_per_sec": results[c]["urls_per_sec"],
+                "timed_wall_s": results[c]["timed_wall_s"],
+                "timed_fetched": results[c]["timed_fetched"],
+                "frontier_rows_per_sec": results[c]["frontier_rows_per_sec"],
+            }
+            for c in lv
+        },
+        "pair_efficiencies": pairs,
+        "frontier_rows": results[lv[-1]]["frontier_rows"],
+    }
+    publish(bench_dir, results, lv, pairs, min_max, sample)
+
+
+def publish(bench_dir, results, lv, pairs, min_max, sample):
+    """Append this run's sample to scaling_samples.json, then write
+    summary.json + BASELINE.md from the per-level medians across all
+    compatible samples (see the policy comment in orchestrate)."""
+    samples_path = bench_dir / "scaling_samples.json"
+    samples = []
+    if samples_path.exists():
+        samples = json.load(open(samples_path))
+    samples.append(sample)
+    with open(samples_path, "w") as f:
+        json.dump(samples, f, indent=1)
+    # compatible = same level set + same frontier (code changes between
+    # rounds keep these constant; a protocol change resets the pool)
+    compat = [
+        s for s in samples
+        if sorted(int(k) for k in s["levels"]) == list(lv)
+        and s["frontier_rows"] == sample["frontier_rows"]
+    ]
+
+    def med(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return vs[n // 2] if n % 2 else round((vs[n // 2 - 1] + vs[n // 2]) / 2, 3)
+
+    med_results = {
+        c: {
+            "frontier_rows": sample["frontier_rows"],
+            "timed_fetched": results[c]["timed_fetched"],
+            "timed_wall_s": med([s["levels"][str(c)]["timed_wall_s"] for s in compat]),
+            "urls_per_sec": med([s["levels"][str(c)]["urls_per_sec"] for s in compat]),
+            "frontier_rows_per_sec": med(
+                [s["levels"][str(c)]["frontier_rows_per_sec"] for s in compat]),
+        }
+        for c in lv
+    }
+    med_pairs = {
+        f"{a}->{b}": round(
+            (med_results[b]["urls_per_sec"] / med_results[a]["urls_per_sec"])
+            / (b / a), 3)
+        for a, b in zip(lv, lv[1:])
+    }
+    med_min_max = (
+        round(
+            (med_results[lv[-1]]["urls_per_sec"] / med_results[lv[0]]["urls_per_sec"])
+            / (lv[-1] / lv[0]), 3)
+        if len(lv) > 1 else None
+    )
     summary = {
         "metric": "frontier dequeue+fetch-schedule throughput",
-        "levels": {str(c): results[c]["urls_per_sec"] for c in lv},
+        # per-level MEDIAN across n_samples compatible runs (see above)
+        "levels": {str(c): med_results[c]["urls_per_sec"] for c in lv},
         # the contract's N→4N pair is the FIRST adjacent pair (2→8):
         # the top pair on this single-socket box is memory-bandwidth
         # bound (see BENCH/BASELINE.md / docs/SCALING.md). Both the
         # explicitly-named contract pair and the min→max value are
         # reported so round-over-round comparisons of either are
         # apples-to-apples (ADVICE r3).
-        "scaling_efficiency": pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
-        "contract_pair_efficiency": pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
-        "min_to_max_efficiency": min_max,
-        "pair_efficiencies": pairs,
+        "scaling_efficiency": med_pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
+        "contract_pair_efficiency": med_pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
+        "min_to_max_efficiency": med_min_max,
+        "pair_efficiencies": med_pairs,
+        "n_samples": len(compat),
+        "latest_sample": {"levels": {str(c): results[c]["urls_per_sec"] for c in lv},
+                          "pair_efficiencies": pairs,
+                          "min_to_max_efficiency": min_max,
+                          "loadavg": sample["loadavg"]},
         "frontier_rows": results[lv[-1]]["frontier_rows"],
         # snapshot store on tmpfs (/dev/shm): excludes real-disk
         # persistence cost — a deliberate local-mode control, disclosed
@@ -192,16 +284,20 @@ def orchestrate(levels=(8, 32)) -> None:
     }
     with open(bench_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=1)
-    write_baseline_md(results, pairs, lv)
+    write_baseline_md(med_results, med_pairs, lv, compat)
     print(json.dumps(summary))
 
 
-def write_baseline_md(results, pairs, lv):
+def write_baseline_md(results, pairs, lv, samples=None):
     md = ["# BENCH/BASELINE.md — measured crawl-engine throughput\n",
           "Protocol: BASELINE.md (M5). Seeded frontier = full bench universe;",
           f"cache/worker warm-up excluded; {TIMED_ROUNDS} timed rounds",
           "(= one full head-cache cycle: three head rounds + the refill);",
-          "URLs/sec = fetched-and-committed per second of run_round wall.\n",
+          "URLs/sec = fetched-and-committed per second of run_round wall.",
+          f"Headline numbers are per-level MEDIANS over "
+          f"{len(samples) if samples else 1} full orchestrator run(s)",
+          "(every sample disclosed below; BENCH/scaling_samples.json has",
+          "walls + /proc/loadavg provenance per sample).\n",
           "| parallelism | frontier rows | timed fetches | timed wall (s) | URLs/sec | frontier rows/s |",
           "| --- | --- | --- | --- | --- | --- |"]
     for c in sorted(results):
@@ -222,6 +318,22 @@ def write_baseline_md(results, pairs, lv):
             f"- local[{a}]→local[{b}]: efficiency (thr_{b}/thr_{a})/{b // a} = "
             f"**{eff:.3f}** ({'meets' if eff >= 0.8 else 'below'} 0.8){primary}"
         )
+    if samples and len(samples) > 1:
+        md += ["", "Individual samples (chronological; URLs/sec per level,",
+               "then pair efficiencies):", "",
+               "| sample | " + " | ".join(f"local[{c}]" for c in lv)
+               + " | " + " | ".join(f"{a}→{b}" for a, b in zip(lv, lv[1:]))
+               + " | load at start |",
+               "| --- | " + " | ".join("---" for _ in range(2 * len(lv))) + " |"]
+        for i, s in enumerate(samples, 1):
+            ld = (s.get("loadavg") or {}).get("start") or []
+            md.append(
+                f"| {i} | "
+                + " | ".join(str(s["levels"][str(c)]["urls_per_sec"]) for c in lv)
+                + " | "
+                + " | ".join(str(s["pair_efficiencies"][f"{a}->{b}"])
+                             for a, b in zip(lv, lv[1:]))
+                + " | " + (f"{ld[0]:.2f}" if ld else "n/a") + " |")
     md += [
         "",
         "Two-parallelism protocol per driver instruction — no real cluster",
