@@ -284,11 +284,12 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
     }
     with open(bench_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=1)
-    write_baseline_md(med_results, med_pairs, lv, compat)
+    write_baseline_md(med_results, med_pairs, lv, compat, bench_dir)
     print(json.dumps(summary))
 
 
-def write_baseline_md(results, pairs, lv, samples=None):
+def write_baseline_md(results, pairs, lv, samples=None, bench_dir=None):
+    bench_dir = pathlib.Path(bench_dir) if bench_dir else REPO / "BENCH"
     md = ["# BENCH/BASELINE.md — measured crawl-engine throughput\n",
           "Protocol: BASELINE.md (M5). Seeded frontier = full bench universe;",
           f"cache/worker warm-up excluded; {TIMED_ROUNDS} timed rounds",
@@ -342,7 +343,7 @@ def write_baseline_md(results, pairs, lv, samples=None):
         "multiprocessing control over the same decode workload: 0.66 —",
         "docs/SCALING.md).",
     ]
-    with open(REPO / "BENCH" / "BASELINE.md", "w") as f:
+    with open(bench_dir / "BASELINE.md", "w") as f:
         f.write("\n".join(md) + "\n")
 
 
