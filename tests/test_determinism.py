@@ -59,3 +59,58 @@ def test_resume_identical_to_uninterrupted(tiny_fixtures, tmp_path):
              "--resume"])
     assert fetch_rows(full) == fetch_rows(part)
     assert seen_rows(full) == seen_rows(part)
+
+
+def test_mid_round_write_failure_then_retry_is_clean(spark, tiny_fixtures,
+                                                     tmp_path):
+    """An exception inside the round's overlap pool (a delta write
+    failing while sibling writes are in flight) must not poison a retry
+    of the same round: run_round's try/finally drains the pool before
+    the error propagates (ADVICE r5), the crashed round stays invisible
+    (no manifest), and re-running round r on the SAME engine yields
+    byte-identical output to an engine that never failed."""
+    from ccrawler_spark.scheduler.cli import make_engine
+
+    seeds = spark.read.parquet(f"{tiny_fixtures}/seeds.parquet")
+
+    clean_out = str(tmp_path / "clean")
+    eng_a, store_a = make_engine(spark, str(tiny_fixtures), clean_out,
+                                 size="tiny")
+    eng_a.bootstrap(seeds)
+    eng_a.run_round(1)
+    eng_a.run_round(2)
+
+    flaky_out = str(tmp_path / "flaky")
+    eng_b, store_b = make_engine(spark, str(tiny_fixtures), flaky_out,
+                                 size="tiny")
+    eng_b.bootstrap(seeds)
+    eng_b.run_round(1)
+
+    orig = store_b.write_parquet
+
+    def flaky_write(df, *parts, **kw):
+        # the seen delta is one of several write-phase pool jobs
+        # submitted together — failing it leaves siblings in flight
+        if parts and parts[0] == "seen":
+            raise RuntimeError("injected seen-delta write failure")
+        return orig(df, *parts, **kw)
+
+    store_b.write_parquet = flaky_write
+    with pytest.raises(RuntimeError, match="injected"):
+        eng_b.run_round(2)
+    store_b.write_parquet = orig
+
+    # the failed round committed nothing: latest() still at round 1
+    assert store_b.latest() == 1
+
+    # retry the same round on the same engine — no orphaned write may
+    # race it (deterministic paths + overwrite mode make it idempotent)
+    eng_b.run_round(2)
+    assert store_b.latest() == 2
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+    assert rows(store_b.read_fetch_log(2)) == rows(store_a.read_fetch_log(2))
+    assert rows(store_b.read_frontier(2)) == rows(store_a.read_frontier(2))
+    assert rows(store_b.read_seen(2)) == rows(store_a.read_seen(2))
