@@ -424,3 +424,67 @@ def test_engine_parity_arrow_path(spark, tiny_fixtures, layout_dir,
     assert _sorted_rows(s_flat.read_frontier(n)) == _sorted_rows(
         s_arrow.read_frontier(n)
     )
+
+
+def test_arrow_scan_soundness_randomized(spark, tiny_fixtures, layout_dir):
+    """Property test for the admission logic in io/arrow_scan (bisect
+    over footer [min,max] + host-scoped id sets): for ANY schedule
+    assembled from real (host → its ids) pairings — plus phantom hosts
+    and ids that exist nowhere, hosts with empty id sets, and tiny or
+    empty schedules — the pruned arrow read must equal the flat corpus
+    filtered by the same id set. Row-group skipping may only remove
+    groups that cannot match; hypothesis hunts the off-by-one bisect /
+    range-edge cases a fixed schedule would never hit."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ccrawler_spark.fixtures.gen import universe_urls_df
+    from ccrawler_spark.functions.spark_exprs import image_id_of
+    from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
+
+    url_rows = universe_urls_df(spark, str(tiny_fixtures)).select(
+        image_id_of(F.col("url")).alias("image_id"), "host"
+    ).collect()
+    by_host: dict[str, list] = {}
+    for r in url_rows:
+        by_host.setdefault(r["host"], []).append(r["image_id"])
+    hosts_all = sorted(by_host)
+    flat = spark.read.parquet(f"{tiny_fixtures}/corpus.parquet")
+
+    def rows(df, ids):
+        return sorted(
+            tuple(r) for r in df.filter(
+                F.col("image_id").isin(sorted(ids)) if ids
+                else F.lit(False)
+            ).select("image_id", "fmt", "phash").collect()
+        )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(data=st.data())
+    def prop(data):
+        picked = data.draw(st.lists(
+            st.sampled_from(hosts_all), max_size=6, unique=True))
+        sched: dict[str, set] = {}
+        all_ids: set = set()
+        for h in picked:
+            ids = set(data.draw(st.lists(
+                st.sampled_from(by_host[h]), max_size=8, unique=True)))
+            sched[h] = ids
+            all_ids |= ids
+        # phantom host (bucket may not even have files) + phantom ids:
+        # must never admit anything extra, never crash
+        if data.draw(st.booleans()):
+            sched["no-such-host.invalid"] = {"ffffffffffffffff"}
+        if sched and data.draw(st.booleans()):
+            k = data.draw(st.sampled_from(sorted(sched)))
+            sched[k] = set(sched[k]) | {"0000000000000000"}
+        got = sorted(
+            tuple(r)
+            for r in pruned_corpus_arrow(
+                spark, layout_dir, host_ids=sched
+            ).select("image_id", "fmt", "phash").collect()
+        )
+        assert got == rows(flat, all_ids)
+
+    prop()
