@@ -114,3 +114,52 @@ def test_mid_round_write_failure_then_retry_is_clean(spark, tiny_fixtures,
     assert rows(store_b.read_fetch_log(2)) == rows(store_a.read_fetch_log(2))
     assert rows(store_b.read_frontier(2)) == rows(store_a.read_frontier(2))
     assert rows(store_b.read_seen(2)) == rows(store_a.read_seen(2))
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_deployment(tiny_fixtures, tmp_path):
+    """north_rule deployment path: the package zipped as the single
+    --py-files artifact, submitted with spark-submit from a cwd OUTSIDE
+    the repo with PYTHONPATH scrubbed — imports (driver, executors, and
+    the Python UDF workers) must resolve from the zip alone, and the
+    run must produce the same per-round counts as the in-repo CLI."""
+    import os
+    import shutil
+    import zipfile
+
+    pkg = os.path.join(REPO, "ccrawler_spark")
+    zpath = tmp_path / "ccrawler_spark.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".pyc") or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, f)
+                z.write(full, os.path.relpath(full, REPO))
+    entry = tmp_path / "submit_job.py"
+    shutil.copy(os.path.join(REPO, "scripts", "submit_job.py"), entry)
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH",)}
+    out = tmp_path / "store"
+    p = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[4]",
+         "--py-files", str(zpath), str(entry),
+         "--size", "tiny", "--rounds", "2", "--cores", "4",
+         "--fixture-dir", str(tiny_fixtures), "--out", str(out)],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-3000:]
+    import json as _json
+
+    lines = [_json.loads(x) for x in p.stdout.splitlines()
+             if x.startswith("{")]
+    by_round = {x["round"]: x for x in lines if "round" in x}
+
+    ref = tmp_path / "ref"
+    run_cli(["--size", "tiny", "--rounds", "2",
+             "--fixture-dir", str(tiny_fixtures), "--out", str(ref)])
+    assert fetch_rows(str(out)) == fetch_rows(str(ref))
+    assert seen_rows(str(out)) == seen_rows(str(ref))
+    assert by_round[1]["fetched"] > 0
