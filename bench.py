@@ -59,11 +59,42 @@ def loadavg() -> list[float]:
         return [-1.0, -1.0]
 
 
+def _spin(_=None) -> int:
+    x = 0x9E3779B9
+    for _i in range(1_000_000):
+        x = (x * 0x2545F491 + 0x3C6EF372) & 0xFFFFFFFF
+    return x
+
+
+def cpu_probe_ms() -> dict:
+    """{"single": ms, "multi8": ms} — wall time of a fixed pure-Python
+    spin, once on one core and once as 8 concurrent processes (slowest
+    of the 8). Loadavg misses what a shared box does to EFFECTIVE
+    compute: identical-code suite invocations at start load < 0.5
+    spread 23-47 s total with inflation uniform across queries — and a
+    fast SINGLE-thread probe during a slow invocation (measured:
+    127 ms probe, 46.8 s total) pins the contention to the multi-core
+    envelope (neighbor containers squatting cores), which only a
+    concurrent probe exposes. Compare probe values across artifacts
+    before comparing query times."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    _spin()
+    single = (time.perf_counter() - t0) * 1000
+    with ProcessPoolExecutor(max_workers=8) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_spin, range(8)))
+        multi = (time.perf_counter() - t0) * 1000
+    return {"single": round(single, 1), "multi8": round(multi, 1)}
+
+
 def main() -> int:
     import __spark_entry__ as entry
     from ccrawler_spark.scheduler.cli import build_session
 
     load_start = loadavg()
+    probe_start = cpu_probe_ms()
     spark = build_session(CPUS)
     qs = entry.queries()
     # session warm-up, untimed: JVM/executor spawn, first-shuffle and
@@ -151,6 +182,7 @@ def main() -> int:
         "query_runs": runs,
         "load1_before": load_before,
         "loadavg": {"start": load_start, "end": loadavg()},
+        "cpu_probe_ms": {"start": probe_start, "end": cpu_probe_ms()},
         "reps": REPS,
         "sf": sf,
     }))

@@ -40,6 +40,32 @@ def loadavg() -> list[float]:
         return []
 
 
+def _spin(_=None) -> int:
+    x = 0x9E3779B9
+    for _i in range(1_000_000):
+        x = (x * 0x2545F491 + 0x3C6EF372) & 0xFFFFFFFF
+    return x
+
+
+def cpu_probe_ms() -> dict:
+    """{"single": ms, "multi8": ms} — effective-compute provenance
+    (single-core spin + slowest of 8 concurrent process spins).
+    Loadavg misses neighbor-container contention on this shared box,
+    and a single-thread probe misses MULTI-core squatting (bench.py
+    docstring has the measured case); recording both per sample lets
+    the median pool be read with per-sample CPU context."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    _spin()
+    single = (time.perf_counter() - t0) * 1000
+    with ProcessPoolExecutor(max_workers=8) as ex:
+        t0 = time.perf_counter()
+        list(ex.map(_spin, range(8)))
+        multi = (time.perf_counter() - t0) * 1000
+    return {"single": round(single, 1), "multi8": round(multi, 1)}
+
+
 # 4 timed rounds = exactly one full head-cache cycle (head_multiple=4:
 # three head-served rounds + the refill round that pays the full
 # frontier composition) — the steady-state amortization, nothing hidden
@@ -161,6 +187,7 @@ def orchestrate(levels=(8, 32)) -> None:
     results = {}
     level_loads = {}
     load_start = loadavg()
+    probe_start = cpu_probe_ms()
     for cores in levels:
         level_loads[str(cores)] = loadavg()
         jp = bench_dir / f"bench_local{cores}.json"
@@ -195,6 +222,7 @@ def orchestrate(levels=(8, 32)) -> None:
         "ts": time.time(),
         "loadavg": {"start": load_start, "per_level": level_loads,
                     "end": loadavg()},
+        "cpu_probe_ms": {"start": probe_start, "end": cpu_probe_ms()},
         "levels": {
             str(c): {
                 "urls_per_sec": results[c]["urls_per_sec"],
