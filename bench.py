@@ -59,6 +59,18 @@ def loadavg() -> list[float]:
         return [-1.0, -1.0]
 
 
+def cpu_ticks() -> tuple[int, int, int]:
+    """(total, steal, busy) jiffies from /proc/stat line 1. The steal
+    fraction over the suite window is the hypervisor's contribution to
+    slowness (this box runs virtualized: cumulative steal is nonzero);
+    busy fraction shows how much of the box the suite itself held."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return sum(v), v[7], v[0] + v[2]
+    except (OSError, IndexError, ValueError):
+        return 0, 0, 0
+
+
 def _spin(_=None) -> int:
     x = 0x9E3779B9
     for _i in range(1_000_000):
@@ -95,6 +107,7 @@ def main() -> int:
 
     load_start = loadavg()
     probe_start = cpu_probe_ms()
+    ticks_start = cpu_ticks()
     spark = build_session(CPUS)
     qs = entry.queries()
     # session warm-up, untimed: JVM/executor spawn, first-shuffle and
@@ -172,6 +185,8 @@ def main() -> int:
         sf = float(sf)
     except ValueError:
         sf = SF_DIR
+    te = cpu_ticks()
+    dt = max(1, te[0] - ticks_start[0])
     print(json.dumps({
         "metric": "headline query suite (noop-sink full materialization,"
                   " per-query median of 3, r6 protocol) + one crawl"
@@ -183,6 +198,10 @@ def main() -> int:
         "load1_before": load_before,
         "loadavg": {"start": load_start, "end": loadavg()},
         "cpu_probe_ms": {"start": probe_start, "end": cpu_probe_ms()},
+        "cpu_window": {
+            "steal_frac": round((te[1] - ticks_start[1]) / dt, 4),
+            "busy_frac": round((te[2] - ticks_start[2]) / dt, 3),
+        },
         "reps": REPS,
         "sf": sf,
     }))

@@ -40,11 +40,29 @@ def loadavg() -> list[float]:
         return []
 
 
+def cpu_ticks() -> tuple[int, int, int]:
+    """(total, steal, busy) jiffies from /proc/stat — see bench.py:
+    the per-sample steal fraction is the hypervisor's contribution to
+    a slow sample, busy fraction the sample's own footprint."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return sum(v), v[7], v[0] + v[2]
+    except (OSError, IndexError, ValueError):  # pragma: no cover
+        return 0, 0, 0
+
+
 def _spin(_=None) -> int:
     x = 0x9E3779B9
     for _i in range(1_000_000):
         x = (x * 0x2545F491 + 0x3C6EF372) & 0xFFFFFFFF
     return x
+
+
+def _cpu_window(t0) -> dict:
+    t1 = cpu_ticks()
+    dt = max(1, t1[0] - t0[0])
+    return {"steal_frac": round((t1[1] - t0[1]) / dt, 4),
+            "busy_frac": round((t1[2] - t0[2]) / dt, 3)}
 
 
 def cpu_probe_ms() -> dict:
@@ -188,6 +206,7 @@ def orchestrate(levels=(8, 32)) -> None:
     level_loads = {}
     load_start = loadavg()
     probe_start = cpu_probe_ms()
+    ticks_start = cpu_ticks()
     for cores in levels:
         level_loads[str(cores)] = loadavg()
         jp = bench_dir / f"bench_local{cores}.json"
@@ -223,6 +242,7 @@ def orchestrate(levels=(8, 32)) -> None:
         "loadavg": {"start": load_start, "per_level": level_loads,
                     "end": loadavg()},
         "cpu_probe_ms": {"start": probe_start, "end": cpu_probe_ms()},
+        "cpu_window": _cpu_window(ticks_start),
         "levels": {
             str(c): {
                 "urls_per_sec": results[c]["urls_per_sec"],
