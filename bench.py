@@ -14,6 +14,12 @@ reported; and /proc/loadavg (1- and 5-min) is recorded at suite start,
 suite end, and before every query into the artifact, so the JSON carries
 its own load provenance instead of needing after-the-fact forensics.
 
+Artifact split (round 7): the FINAL stdout line is a compact JSON with
+only per-query medians (the driver's tail capture truncated the r6
+full-provenance line, losing 7 queries from the official record); the
+full provenance — per-run samples, loadavg series, CPU probes,
+steal/busy window — is written to ``BENCH/bench_suite_<utc>.json``.
+
 The crawl engine's own scaling bench (local[8] vs local[32], BASELINE.md
 protocol) lives in bench/run_bench.py → BENCH/BASELINE.md.
 """
@@ -187,7 +193,12 @@ def main() -> int:
         sf = SF_DIR
     te = cpu_ticks()
     dt = max(1, te[0] - ticks_start[0])
-    print(json.dumps({
+    # Full provenance (per-run samples, loadavg, CPU probes, steal/busy
+    # window) goes to a BENCH/ file; the FINAL stdout line stays compact
+    # (medians only). Round 6's official artifact was front-truncated
+    # because this JSON outgrew the driver's tail capture — the official
+    # record lost 7 queries' medians (VERDICT r6 "What's wrong" #1).
+    provenance = {
         "metric": "headline query suite (noop-sink full materialization,"
                   " per-query median of 3, r6 protocol) + one crawl"
                   " round (median of 3), wall seconds",
@@ -204,6 +215,29 @@ def main() -> int:
         },
         "reps": REPS,
         "sf": sf,
+    }
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    prov_path = None
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        prov_path = os.path.join(
+            bench_dir,
+            time.strftime("bench_suite_%Y%m%dT%H%M%S.json", time.gmtime()),
+        )
+        with open(prov_path, "w") as f:
+            json.dump(provenance, f, indent=1)
+    except OSError:
+        prov_path = None  # read-only checkout: compact line still valid
+    print(json.dumps({
+        "metric": "headline suite median-of-%d + crawl round, sec"
+                  " (full provenance in BENCH/)" % REPS,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": REPS,
+        "sf": sf,
+        "provenance_file": prov_path and os.path.basename(prov_path),
     }))
     spark.stop()
     return 0

@@ -384,8 +384,32 @@ def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
     r5). Centroids persist as JSON under the fixture cache dir and
     load driver-side (they ARE the dim table — n_cells × dim
     floats)."""
-    import hashlib
     import json
+
+    path = ivf_centroid_cache_path(cache_key, dim, n_cells, n_iters,
+                                   id_col, vec_col)
+    if path.exists():
+        return json.loads(path.read_text())
+    cents = ivf_train_kmeans(embeddings, dim, n_cells, n_iters,
+                             id_col=id_col, vec_col=vec_col)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(cents))
+    tmp.replace(path)  # atomic: concurrent trainers converge on one file
+    return cents
+
+
+def ivf_centroid_cache_path(cache_key: str, dim: int, n_cells: int,
+                            n_iters: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Cache path for a trained-centroid dim table — shared by the
+    Spark trainer (:func:`ivf_train_kmeans_cached`) and the oracle-side
+    loader (:func:`ivf_trained_centroids_ensure`), so both resolve the
+    SAME file for the same input table: whichever side runs first
+    trains and persists; the other loads. The content fingerprint uses
+    the path RELATIVE to ``cache_key`` (not the basename — ADVICE r6:
+    same-named part files in different partition subdirs must
+    fingerprint distinctly) plus size + mtime_ns per file."""
+    import hashlib
     import pathlib
 
     from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
@@ -395,7 +419,8 @@ def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
     if p.exists():
         files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
         fp = "|".join(
-            f"{f.name}:{f.stat().st_size}:{f.stat().st_mtime_ns}"
+            f"{f.relative_to(p) if p.is_dir() else f.name}"
+            f":{f.stat().st_size}:{f.stat().st_mtime_ns}"
             for f in files
         )
     key = hashlib.md5(
@@ -404,15 +429,59 @@ def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
     ).hexdigest()[:16]
     cdir = FIXTURE_ROOT / "ivf_cents"
     cdir.mkdir(parents=True, exist_ok=True)
-    path = cdir / f"{key}.json"
+    return cdir / f"{key}.json"
+
+
+def ivf_trained_centroids_ensure(parquet_path: str, dim: int,
+                                 n_cells: int = 64, n_iters: int = 2,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 ) -> list[list[float]]:
+    """Load — or train WITHOUT a Spark session — the persisted trained
+    centroids for ``parquet_path``. This is the oracle-side half of the
+    trained-IVF value gate (VERDICT r6 #2): the DuckDB twin needs the
+    same centroid dim table the Spark query uses, and the driver may
+    evaluate the oracle SQL before the Spark query has trained. Parity
+    does NOT require the two trainers to be float-identical — it
+    requires both sides to read the same persisted JSON, which the
+    shared cache path guarantees: first writer wins, the other side
+    (ivf_train_kmeans_cached's path.exists() branch, or this loader)
+    loads the identical floats.
+
+    The numpy trainer is the same spherical Lloyd algorithm as
+    :func:`ivf_train_kmeans` (argmax-dot assignment against unit-norm
+    centroids, per-cell mean, re-normalize, empty cells keep the prior
+    centroid), run single-pass over the parquet file — deterministic
+    for a fixed input since there is no partition-order float
+    summation."""
+    import json
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = ivf_centroid_cache_path(parquet_path, dim, n_cells, n_iters,
+                                   id_col, vec_col)
     if path.exists():
         return json.loads(path.read_text())
-    cents = ivf_train_kmeans(embeddings, dim, n_cells, n_iters,
-                             id_col=id_col, vec_col=vec_col)
+    tbl = pq.read_table(parquet_path, columns=[vec_col])
+    V = np.stack(tbl[vec_col].to_pylist()).astype(np.float64)
+    cents = np.array(ivf_centroids(dim, n_cells), dtype=np.float64)
+    for _ in range(n_iters):
+        cell = np.argmax(V @ cents.T, axis=1)
+        new = cents.copy()
+        for c in range(n_cells):
+            m = cell == c
+            if m.any():
+                v = V[m].mean(axis=0)
+                n = float(np.sqrt((v * v).sum()))
+                if n > 0:
+                    new[c] = v / n
+        cents = new
+    out = [[float(x) for x in c] for c in cents]
     tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(cents))
-    tmp.replace(path)  # atomic: concurrent trainers converge on one file
-    return cents
+    tmp.write_text(json.dumps(out))
+    tmp.replace(path)
+    return out
 
 
 def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,

@@ -301,3 +301,42 @@ def test_exact_pairs_star_mode(spark):
     near_star = sorted((r["id_a"], r["id_b"], r["hamming"])
                        for r in star if r["hamming"] > 0)
     assert near_all == near_star == [(100, 101, 2)]
+
+
+def test_ivf_centroid_cache_shared_between_trainers(spark, tmp_path):
+    """The trained-IVF value gate (VERDICT r6 #2) rests on one
+    invariant: the Spark trainer (ivf_train_kmeans_cached) and the
+    oracle-side loader (ivf_trained_centroids_ensure) resolve the SAME
+    cache file for the same input table, and whichever runs second
+    LOADS rather than retrains — so the Spark query and the DuckDB twin
+    always see identical centroid floats, in either execution order."""
+    import json
+
+    from ccrawler_spark.textops import similarity as S
+
+    pq_path = str(tmp_path / "emb.parquet")
+    emb = _planted_embeddings(spark)
+    emb.coalesce(1).write.parquet(pq_path)
+    kw = dict(dim=32, n_cells=8, n_iters=2)
+
+    # order 1: oracle (numpy) first — Spark side must load, not retrain
+    cache = S.ivf_centroid_cache_path(pq_path, **kw)
+    assert not cache.exists()
+    np_cents = S.ivf_trained_centroids_ensure(pq_path, **kw)
+    assert cache.exists()
+    df = spark.read.parquet(pq_path)
+    orig_train = S.ivf_train_kmeans
+    S.ivf_train_kmeans = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("spark side retrained despite warm cache"))
+    try:
+        spark_cents = S.ivf_train_kmeans_cached(df, cache_key=pq_path, **kw)
+    finally:
+        S.ivf_train_kmeans = orig_train
+    assert spark_cents == np_cents
+
+    # order 2: Spark first — oracle loader must return identical floats
+    cache.unlink()
+    spark_cents = S.ivf_train_kmeans_cached(df, cache_key=pq_path, **kw)
+    assert cache.exists() and json.loads(cache.read_text()) == spark_cents
+    assert S.ivf_trained_centroids_ensure(pq_path, **kw) == spark_cents
+    cache.unlink()
