@@ -65,6 +65,7 @@ def pruned_corpus_arrow(
     hosts=None,
     ids=None,
     host_ids=None,
+    track: list | None = None,
 ) -> DataFrame:
     """Layout scan with set-based host/id pushdown (module docstring).
     Semantics match :func:`ccrawler_spark.io.corpus_layout
@@ -85,7 +86,22 @@ def pruned_corpus_arrow(
     hosts keeps the admission probability flat as K grows. Sound
     because a scheduled corpus row (h, i) can only sit in a group
     whose host_key range covers key(h) — so testing i against groups
-    admitted via key(h) covers every row the fetch join could match."""
+    admitted via key(h) covers every row the fetch join could match.
+
+    ``track``: optional list the key-set broadcast is appended to, so
+    the caller can ``unpersist()`` it once the round's actions complete
+    (ADVICE r6: at the 128k cap each round otherwise strands ~2 MB of
+    broadcast blocks until GC + ContextCleaner get to the closure).
+    ``unpersist`` (not ``destroy``) keeps the plan re-evaluable —
+    Spark re-ships from the driver if a late branch re-executes.
+
+    Scope note (ADVICE r6): the file list comes from a driver-side
+    ``pathlib`` glob, so this reader requires the layout root on a
+    locally-mounted filesystem (true in this sandbox and for
+    NFS/FUSE-mounted stores). On an object store the engine's JVM
+    ``pruned_corpus`` path — which lists through the Hadoop filesystem
+    — remains the fallback; a pyarrow.dataset/fsspec listing would
+    lift the constraint without changing any semantics."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -120,12 +136,17 @@ def pruned_corpus_arrow(
             continue
         files.extend((str(pf), bk) for pf in sorted(bdir.glob("*.parquet")))
 
-    any_file = files[0][0] if files else next(
-        iter(sorted(root.glob("host_bucket=*/*.parquet"))), None
-    )
-    if any_file is None:
-        raise ValueError(f"corpus layout at {path} has no parquet files")
-    base = from_arrow_schema(pq.read_schema(str(any_file)))
+    if meta.get("data_schema") is not None:
+        # layout-static schema from the metadata sidecar: no per-round
+        # driver-side footer read (VERDICT r6 #4)
+        base = StructType.fromJson(meta["data_schema"])
+    else:  # pre-r7 layout: fall back to one footer
+        any_file = files[0][0] if files else next(
+            iter(sorted(root.glob("host_bucket=*/*.parquet"))), None
+        )
+        if any_file is None:
+            raise ValueError(f"corpus layout at {path} has no parquet files")
+        base = from_arrow_schema(pq.read_schema(str(any_file)))
     out_schema = StructType(
         list(base.fields) + [StructField("host_bucket", IntegerType())]
     )
@@ -135,6 +156,8 @@ def pruned_corpus_arrow(
     # ship the key sets once per executor (torrent broadcast), not once
     # per task closure — at the 128k cap they are ~2 MB pickled
     bc = spark.sparkContext.broadcast((keys, ids_l, ids_by_key))
+    if track is not None:
+        track.append(bc)
 
     def scan(batches):
         import bisect

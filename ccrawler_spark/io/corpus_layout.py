@@ -149,8 +149,22 @@ def write_corpus_layout(
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.partitionBy("host_bucket").parquet(path)
+    # data_schema: the parquet files' columns (everything except the
+    # host_bucket partition column) in written order, nullable-
+    # normalized to match what a parquet read reports — lets the arrow
+    # reader skip its per-call driver footer read (VERDICT r6 #4)
+    import json as _json
+
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    data_schema = _ST([
+        _SF(f.name, f.dataType, True)
+        for f in df.schema.fields if f.name != "host_bucket"
+    ])
     write_layout_meta(path, buckets, row_group_bytes,
-                      wide_host_keys_from_footers(path))
+                      wide_host_keys_from_footers(path),
+                      data_schema=_json.loads(data_schema.json()))
 
 
 WIDE_MIN_GROUPS = 8  # a host whose sorted run spans ≥ this many row

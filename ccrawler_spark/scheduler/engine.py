@@ -77,6 +77,9 @@ class CrawlEngine:
         self.spark = spark
         self.store = store
         self.corpus = corpus
+        # arrow-scan key-set broadcasts created during the current
+        # round; run_round unpersists them in its finally (ADVICE r6)
+        self._round_bcs: list = []
         # optional bucket-partitioned / (host, image_id)-clustered corpus
         # (io/corpus_layout): the fetch join prunes its scan to the
         # scheduled buckets + (when the schedule is host-sparse) pushed
@@ -227,10 +230,20 @@ class CrawlEngine:
         # compactions — was three pools r5, whose with-block barriers
         # also serialized driver work behind executor writes)
         pool = ThreadPoolExecutor(max_workers=8)
+        self._round_bcs: list = []
         try:
             return self._run_round_body(r, pool)
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
+            # release the arrow scan's key-set broadcast blocks now
+            # that every round-r action has run (ADVICE r6) — lazy
+            # unpersist: a re-evaluated plan re-ships from the driver
+            for _bc in self._round_bcs:
+                try:
+                    _bc.unpersist(blocking=False)
+                except Exception:
+                    pass  # session teardown races are benign here
+            self._round_bcs = []
 
     def _run_round_body(self, r: int, pool) -> RoundStats:
         conf = self.conf
@@ -666,8 +679,11 @@ class CrawlEngine:
             ids = {r["image_id"] for r in rows}
             if len(hosts) > HOST_PUSHDOWN_CAP:
                 # too many distinct hosts for the JVM Or-tree filter;
-                # the set-based scan has no such limit
-                if len(hosts) <= self.arrow_pushdown_cap:
+                # the set-based scan has no such limit. Gate on the ID
+                # count — the cap bounds the broadcast id-set size
+                # (ADVICE r6: len(hosts) only coincided with it while
+                # round_budget ≤ ID_PUSHDOWN_CAP implied ids ≤ 4096)
+                if len(ids) <= self.arrow_pushdown_cap:
                     return counts, {"hosts": hosts, "ids": ids,
                                     "host_ids": _pair_ids(rows),
                                     "arrow": True}
@@ -746,6 +762,7 @@ class CrawlEngine:
             return pruned_corpus_arrow(
                 self.spark, self.corpus_layout,
                 host_ids=push["host_ids"],
+                track=self._round_bcs,
             )
         if push is not None and "narrow" in push:
             return pruned_corpus_split(

@@ -115,3 +115,29 @@ def test_publish_baseline_md_discloses_every_sample(tmp_path):
     assert "MEDIANS over 2" in md
     for thr in ("300.0", "290.0", "950.0", "1000.0"):
         assert thr in md, f"sample throughput {thr} not disclosed"
+
+
+def test_publish_disk_samples_never_pollute_tmpfs_medians(tmp_path):
+    """Disk-store control samples (VERDICT r6 #3) are appended to the
+    pool and surfaced as summary.disk_control + a BASELINE.md section,
+    but the headline medians stay tmpfs-only — mixing stores would
+    silently drag the throughput claim by the disk persistence cost."""
+    lv = [2, 8, 32]
+    s1 = _mk_sample(1, {2: 300.0, 8: 950.0, 32: 1600.0})
+    s2 = _mk_sample(2, {2: 290.0, 8: 1000.0, 32: 1750.0})
+    d = _mk_sample(3, {2: 250.0, 8: 800.0, 32: 1400.0})
+    d["store"] = "disk:/var/tmp"
+    (tmp_path / "scaling_samples.json").write_text(json.dumps([s1, s2]))
+    rb.publish(tmp_path, _results_from(d), lv, d["pair_efficiencies"],
+               min_max=0.0, sample=d)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    # headline pool: the two tmpfs samples only (even count → averaged)
+    assert summary["n_samples"] == 2
+    assert summary["levels"]["32"] == 1675.0
+    assert summary["latest_sample"]["store"] == "disk:/var/tmp"
+    dc = summary["disk_control"]
+    assert dc["store"] == "disk:/var/tmp"
+    assert dc["levels"]["32"] == 1400.0
+    assert dc["delta_vs_tmpfs_median"]["32"] == round(1400.0 / 1675.0 - 1, 3)
+    md = (tmp_path / "BASELINE.md").read_text()
+    assert "Disk-store control" in md and "local[32] | 1400.0" in md
