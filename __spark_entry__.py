@@ -5,9 +5,10 @@ operators (SURVEY.md §2, §5.3 T6) plus the training-data pipeline
 operators (ccrawler_spark.textops) over the driver's testdata tables;
 ``oracle_sql()`` gives the DuckDB twin of each. Column names/aliases
 match pairwise so the driver's order-insensitive value-hash compares
-cleanly. 29 queries, 29 with a DuckDB oracle (all value-checked since
+cleanly. 30 queries, 30 with a DuckDB oracle (all value-checked since
 round 7 — the trained-IVF twin loads the same persisted centroid JSON
-the Spark query uses, see q_ann_cosine_topk_ivf_trained): the
+the Spark query uses, and the crawl loop itself is gated end-to-end
+against the pure-Python oracle's fetch log, see q_crawl_round_log): the
 approximate operators (SRP-LSH ANN, embedding near-dup, simhash
 banding) are deterministic — their hyperplanes, rings and bands are
 literal-expressible — so the twin reproduces them exactly; semantic
@@ -457,6 +458,59 @@ def q_pruned_corpus_read(spark, sf_dir):
     )
 
 
+def q_crawl_round_log(spark, sf_dir):
+    """30th gate (VERDICT r6 optional #8): TWO full crawl-scheduler
+    rounds of the REAL engine — bootstrap, dequeue, robots gate,
+    politeness slots, fetch join, seen/frontier commit — over the
+    deterministic tiny fixture, returning the committed fetch log's
+    ordering surface (round, seq, url, host, slot_ms). The DuckDB twin
+    reads the pure-Python oracle's fetch log (recomputed fresh inside
+    ``oracle_sql()`` — pure Python, no Spark, same fixture), so the
+    core loop's EXACT ordering + dedup parity becomes visible in the
+    driver's own harness rather than pytest only. Virtual clock ⇒
+    byte-identical across invocations. ``sf_dir`` unused (same pattern
+    as pruned_corpus_read: the scheduler fixture IS the unit under
+    test). Deliberately not in bench.py's HEADLINE — bench times the
+    crawl round under its own median-of-3 protocol already."""
+    import tempfile
+
+    from ccrawler_spark import testing as tt
+
+    out = tempfile.mkdtemp(prefix="gate-crawl-")
+    _, store, _ = tt.engine_run(spark, "tiny", out, rounds=2)
+    return store.read_fetch_log(2).select(
+        "round", "seq", "url", "host", "slot_ms"
+    )
+
+
+def _oracle_crawl_log_parquet(rounds: int = 2) -> str:
+    """The pure-Python oracle's fetch log for the tiny fixture,
+    persisted as parquet for the DuckDB side of q_crawl_round_log.
+    Recomputed (and atomically rewritten) on every call — the oracle
+    run is sub-second pure Python, and never caching means a stale
+    expectation can't survive an engine-semantics change."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_spark import testing as tt
+    from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
+
+    res = tt.oracle_run("tiny", rounds=rounds)
+    tbl = pa.table({
+        "round": pa.array([f.round for f in res.fetch_log], pa.int32()),
+        "seq": pa.array([f.seq for f in res.fetch_log], pa.int64()),
+        "url": pa.array([f.url for f in res.fetch_log], pa.string()),
+        "host": pa.array([f.host for f in res.fetch_log], pa.string()),
+        "slot_ms": pa.array([f.slot_ms for f in res.fetch_log], pa.int64()),
+    })
+    out = FIXTURE_ROOT / "oracle" / f"crawl_log_tiny_r{rounds}.parquet"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(".tmp.parquet")
+    pq.write_table(tbl, tmp)
+    tmp.replace(out)
+    return str(out)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: priority-dequeue surrogate (the scheduler's O26 heart)
     on sf0.001."""
@@ -494,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_pairs": q_phash_near_pairs,
         "phash_near_pairs_star": q_phash_near_pairs_star,
         "pruned_corpus_read": q_pruned_corpus_read,
+        "crawl_round_log": q_crawl_round_log,
     }
 
 
@@ -672,6 +727,10 @@ def oracle_sql() -> dict[str, str]:
         i for v in _pruned_read_schedule().values() for i in v
     }
     _id_list = ", ".join(f"'{i}'" for i in sorted(_sched_ids))
+
+    # crawl-round gate twin: the pure-Python oracle's fetch log,
+    # recomputed fresh (see _oracle_crawl_log_parquet)
+    _crawl_log = _oracle_crawl_log_parquet(rounds=2)
 
     return {
         "topk_per_group": """
@@ -1048,5 +1107,9 @@ def oracle_sql() -> dict[str, str]:
                    caption
             FROM read_parquet('{_flat_corpus}')
             WHERE image_id IN ({_id_list})
+        """,
+        "crawl_round_log": f"""
+            SELECT round, seq, url, host, slot_ms
+            FROM read_parquet('{_crawl_log}')
         """,
     }

@@ -488,3 +488,51 @@ def test_arrow_scan_soundness_randomized(spark, tiny_fixtures, layout_dir):
         assert got == rows(flat, all_ids)
 
     prop()
+
+
+def test_arrow_scan_statless_footers_admit_everything(spark, tmp_path):
+    """VERDICT r6 optional #7: ``admits()``/``admits_scoped()`` must
+    KEEP row groups whose column chunks carry no min/max statistics (a
+    writer may disable or truncate them) — correctness then rests on
+    the residual ``is_in`` filter alone. Hand-builds a layout with
+    (a) a file with NO statistics at all and (b) a file with host_key
+    stats but no image_id stats (pins the partial-stats branch), three
+    rows per group: nothing may be wrongly skipped, and the returned
+    rows are exactly the scheduled ids."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ccrawler_spark.io.arrow_scan import pruned_corpus_arrow
+    from ccrawler_spark.io.corpus_layout import META_FILE, host_key_py
+
+    buckets = 64
+    host = "h0.example"
+    k = host_key_py(host, buckets)
+    bk = k >> 57
+    root = tmp_path / "statless_layout"
+    d = root / f"host_bucket={bk}"
+    d.mkdir(parents=True)
+
+    def mk(ids, fname, stats):
+        tbl = pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(["png"] * len(ids), pa.string()),
+            "host_key": pa.array([k] * len(ids), pa.int64()),
+        })
+        pq.write_table(tbl, d / fname, write_statistics=stats,
+                       row_group_size=3)
+
+    ids_a = [f"a{i:015x}" for i in range(9)]
+    ids_b = [f"b{i:015x}" for i in range(9)]
+    mk(ids_a, "part-0.parquet", False)           # no stats anywhere
+    mk(ids_b, "part-1.parquet", ["host_key"])    # id stats absent only
+    (root / META_FILE).write_text(json.dumps({"buckets": buckets}))
+
+    want = {ids_a[1], ids_a[7], ids_b[4]}
+    got = pruned_corpus_arrow(
+        spark, str(root), host_ids={host: want}
+    ).select("image_id", "fmt", "host_bucket").collect()
+    assert sorted(r["image_id"] for r in got) == sorted(want)
+    assert all(r["host_bucket"] == bk and r["fmt"] == "png" for r in got)
