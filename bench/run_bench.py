@@ -179,6 +179,14 @@ def worker(cores: int, json_path: str, fixture_dir: str | None,
 
 
 TMPFS_TAG = "tmpfs:/dev/shm"
+# Code-condition tag: bumped when a perf-relevant engine/session-config
+# change lands. The pool medians must never mix samples produced under
+# different code conditions — the r6 pool predates the cached-plan AQE
+# knob (cli.build_session, BENCH/aqe_cached_plan_ab.json), which
+# changes dispatch cost at every level. Samples without a "code" key
+# are the pre-r7 pool; they stay in scaling_samples.json as disclosed
+# history but leave the headline medians.
+CODE_TAG = "r7-cached-plan-aqe"
 
 
 def orchestrate(levels=(8, 32), store_dir: str = "/dev/shm") -> None:
@@ -263,6 +271,7 @@ def orchestrate(levels=(8, 32), store_dir: str = "/dev/shm") -> None:
         "pair_efficiencies": pairs,
         "frontier_rows": results[lv[-1]]["frontier_rows"],
         "store": TMPFS_TAG if store_dir == "/dev/shm" else f"disk:{store_dir}",
+        "code": CODE_TAG,
     }
     publish(bench_dir, results, lv, pairs, min_max, sample)
 
@@ -287,13 +296,19 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
     def _tag(s):
         return s.get("store", TMPFS_TAG)
 
-    shape_ok = [
+    def _code(s):
+        return s.get("code", "pre-r7")
+
+    shape_all = [
         s for s in samples
         if sorted(int(k) for k in s["levels"]) == list(lv)
         and s["frontier_rows"] == sample["frontier_rows"]
     ]
+    shape_ok = [s for s in shape_all if _code(s) == _code(sample)]
     compat = [s for s in shape_ok if _tag(s) == TMPFS_TAG]
-    disk = [s for s in shape_ok if _tag(s).startswith("disk")]
+    # the disk control is code-agnostic (it bounds the store cost, not
+    # the plan) but discloses which code condition produced it
+    disk = [s for s in shape_all if _tag(s).startswith("disk")]
     if not compat:  # disk-only pool: claim what exists, tagged below
         compat = shape_ok
 
@@ -346,6 +361,7 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
                           "loadavg": sample["loadavg"],
                           "store": _tag(sample)},
         "frontier_rows": results[lv[-1]]["frontier_rows"],
+        "code": _code(sample),
         # snapshot store on tmpfs (/dev/shm): excludes real-disk
         # persistence cost — a deliberate local-mode control, disclosed
         # here so JSON consumers see it without reading BASELINE.md
@@ -362,6 +378,7 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
         }
         summary["disk_control"] = {
             "store": _tag(d),
+            "code": _code(d),
             "levels": {k: v["urls_per_sec"] for k, v in d["levels"].items()},
             "pair_efficiencies": d["pair_efficiencies"],
             "delta_vs_tmpfs_median": delta,

@@ -57,6 +57,19 @@ def build_session(cores: int, shuffle_partitions: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-coalesce consumers of cached plans: .cache()d frames
+        # (dequeue head, round frontier) otherwise pin the full 256-
+        # partition layout on every downstream stage — a tiny round was
+        # measured at 6,411 executed tasks across 14×256-task stages,
+        # pure scheduler dispatch (BENCH/dispatch_floor.json: ~178 ms/job
+        # floor). With the knob on, 4 interleaved A/B pairs ran the same
+        # round 1.4-1.9× faster at byte-identical fetch counts
+        # (BENCH/aqe_cached_plan_ab.json); safe because nothing depends
+        # on physical partitioning (no spark_partition_id anywhere;
+        # sequence/ordering are value-based) and the full parity suite
+        # runs under the knob (tests/conftest.py)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # finer task granularity: coarse scans/shuffle partitions leave
         # a 32-core box idle behind stragglers (one 400 MB scan task
         # holds a whole stage); 64 MB splits / 16 MB shuffle targets

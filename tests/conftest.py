@@ -17,6 +17,11 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # mirror build_session: the whole suite (ordering/seen parity,
+        # byte-equality, resume) runs under the cached-plan-repartition
+        # knob, making it the parity evidence for enabling it in prod
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )

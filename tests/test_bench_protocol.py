@@ -117,6 +117,34 @@ def test_publish_baseline_md_discloses_every_sample(tmp_path):
         assert thr in md, f"sample throughput {thr} not disclosed"
 
 
+def test_publish_code_condition_change_resets_the_pool(tmp_path):
+    """A perf-relevant code change (CODE_TAG bump, e.g. the r7
+    cached-plan AQE knob) must start a fresh median pool: pooling
+    samples produced by different code would average two different
+    engines into one claim. Old samples stay in the file as history;
+    the code-agnostic disk control remains visible with its code
+    disclosed."""
+    lv = [2, 8, 32]
+    old1 = _mk_sample(1, {2: 300.0, 8: 950.0, 32: 1600.0})   # pre-r7
+    old2 = _mk_sample(2, {2: 310.0, 8: 990.0, 32: 1650.0})   # pre-r7
+    oldd = _mk_sample(3, {2: 250.0, 8: 800.0, 32: 1400.0})   # pre-r7 disk
+    oldd["store"] = "disk:/var/tmp"
+    new = _mk_sample(4, {2: 400.0, 8: 1300.0, 32: 2200.0})
+    new["code"] = rb.CODE_TAG
+    (tmp_path / "scaling_samples.json").write_text(
+        json.dumps([old1, old2, oldd]))
+    rb.publish(tmp_path, _results_from(new), lv,
+               new["pair_efficiencies"], min_max=0.0, sample=new)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert summary["n_samples"] == 1          # fresh pool
+    assert summary["code"] == rb.CODE_TAG
+    assert summary["levels"] == {"2": 400.0, "8": 1300.0, "32": 2200.0}
+    dc = summary["disk_control"]              # still visible, code shown
+    assert dc["levels"]["32"] == 1400.0 and dc["code"] == "pre-r7"
+    pool = json.loads((tmp_path / "scaling_samples.json").read_text())
+    assert len(pool) == 4                     # history retained
+
+
 def test_publish_disk_samples_never_pollute_tmpfs_medians(tmp_path):
     """Disk-store control samples (VERDICT r6 #3) are appended to the
     pool and surfaced as summary.disk_control + a BASELINE.md section,
