@@ -426,20 +426,32 @@ def write_baseline_md(results, pairs, lv, samples=None, bench_dir=None,
         )
     if samples and len(samples) > 1:
         md += ["", "Individual samples (chronological; URLs/sec per level,",
-               "then pair efficiencies):", "",
+               "then pair efficiencies, then per-sample box health:",
+               "hypervisor steal fraction over the run window and the",
+               "single-core spin probe in ms — ~105 ms is this box's clean",
+               "baseline, higher means external CPU contention during the",
+               "sample):", "",
                "| sample | " + " | ".join(f"local[{c}]" for c in lv)
                + " | " + " | ".join(f"{a}→{b}" for a, b in zip(lv, lv[1:]))
-               + " | load at start |",
-               "| --- | " + " | ".join("---" for _ in range(2 * len(lv))) + " |"]
+               + " | load at start | steal | 1-core probe ms |",
+               "| --- | "
+               + " | ".join("---" for _ in range(2 * len(lv) + 2)) + " |"]
         for i, s in enumerate(samples, 1):
             ld = (s.get("loadavg") or {}).get("start") or []
+            cw = s.get("cpu_window") or {}
+            pr = s.get("cpu_probe_ms") or {}
+            probe = (
+                f"{pr['start']['single']}→{pr['end']['single']}"
+                if pr.get("start") and pr.get("end") else "n/a"
+            )
             md.append(
                 f"| {i} | "
                 + " | ".join(str(s["levels"][str(c)]["urls_per_sec"]) for c in lv)
                 + " | "
                 + " | ".join(str(s["pair_efficiencies"][f"{a}->{b}"])
                              for a, b in zip(lv, lv[1:]))
-                + " | " + (f"{ld[0]:.2f}" if ld else "n/a") + " |")
+                + " | " + (f"{ld[0]:.2f}" if ld else "n/a")
+                + f" | {cw.get('steal_frac', 'n/a')} | {probe} |")
     if disk_note is not None:
         d, delta = disk_note
         md += [
