@@ -128,6 +128,10 @@ def worker(cores: int, json_path: str, fixture_dir: str | None,
     # executor; RAM (125 GB) easily holds the ~4 GB bench store.
     # ``store_dir`` overrides tmpfs for the disk-backed control sample
     # (VERDICT r6 #3: bound how much tmpfs flatters URLs/s).
+    if store_dir:
+        # mkdtemp requires an existing parent; the disk-control root
+        # (e.g. /root/bench_store) may not survive between sessions
+        pathlib.Path(store_dir).mkdir(parents=True, exist_ok=True)
     with tempfile.TemporaryDirectory(prefix=f"bench{cores}-",
                                      dir=store_dir) as out:
         engine, store = make_engine(spark, fdir, out, conf=BENCH,
