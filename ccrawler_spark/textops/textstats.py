@@ -1,20 +1,29 @@
 """Text analysis for training-data pipelines: token counting, quality
 scoring, language-ID heuristic, document fingerprinting.
 
-token_stats / quality_score / lang_id are scalar Catalyst
-expressions (regexp/length/array lambdas) — zero shuffles, fully
-pipelined with the scan; ``fingerprint`` is a vectorized Arrow batch
-(see its docstring). Each has an exact DuckDB-SQL twin in
-``__spark_entry__.oracle_sql`` so the driver's correctness gate checks
-values, not just row counts.
+token_stats / quality_score / lang_id run their per-token loops as ONE
+vectorized Arrow batch each (round 8, the same migration as
+``dedup.simhash64``): Spark evaluates higher-order lambdas interpreted
+(CodegenFallback, ~µs/element), and because the scalar form was an
+inlinable expression tree the optimizer both (a) pushed the quality /
+lang filters of composed pipelines BELOW the parallelizing repartition
+— the whole interpreted token loop ran inside the one-split parquet
+scan task — and (b) duplicated the evaluation (filter + projection),
+the guide §4.4 pattern. The Arrow pass emits exact INTEGER counts
+only; every double (ratios, the quality formula, the rounds) and the
+lang-argmax stay in JVM expressions bit-identical to the previous
+form, so the DuckDB twins in ``__spark_entry__.oracle_sql`` are
+unchanged. Tokenization parity rules are ``simhash64``'s (ASCII
+``\\s``, trim of 0x20 only, limit=-1 split); ``[^\\w\\s]`` with
+``re.ASCII`` matches the JVM regex's ASCII ``\\w``/``\\s`` classes.
+Each op has an exact DuckDB-SQL twin so the driver's correctness gate
+checks values, not just row counts.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .dedup import tokens_col
 
 # fixed stopword list shared with the SQL oracle
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -32,37 +41,101 @@ LANG_MARKERS = {
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + char stats per doc."""
-    toks = tokens_col(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+    """Whitespace token count + char stats per doc. Counts are exact
+    integers from one Arrow batch; the only double (avg_token_len) is
+    the same JVM int/int division + round as the scalar form."""
+
+    def cnt(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            n_chars, n_tok, n_dist = [], [], []
+            for text in pdf["text"]:
+                if text is None:
+                    n_chars.append(None)
+                    n_tok.append(None)
+                    n_dist.append(None)
+                    continue
+                toks = ws.split(text.strip(" "))
+                n_chars.append(len(text))
+                n_tok.append(len(toks))
+                n_dist.append(len(set(toks)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_chars_actual": pd.array(n_chars, dtype="Int32"),
+                "n_tokens": pd.array(n_tok, dtype="Int32"),
+                "n_distinct_tokens": pd.array(n_dist, dtype="Int32"),
+            })
+
+    counts = docs.select("doc_id", "text").mapInPandas(
+        cnt,
+        "doc_id long, n_chars_actual int, n_tokens int,"
+        " n_distinct_tokens int",
+    )
+    return counts.select(
+        "doc_id", "n_chars_actual", "n_tokens", "n_distinct_tokens",
+        F.round(
+            F.col("n_chars_actual") / F.col("n_tokens"), 4
+        ).alias("avg_token_len"),
     )
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/punctuation/stopword-ratio quality heuristic in [0, 1]:
       0.4 · min(1, n_tokens/50) + 0.3 · (1 − punct_ratio·10 clamped)
-      + 0.3 · min(1, stopword_ratio·5)."""
-    toks = tokens_col(F.col("text"))
-    n_tok = F.size(toks).cast("double")
-    n_punct = (
-        F.length("text")
-        - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
-    ).cast("double")
-    punct_ratio = n_punct / F.greatest(F.length("text").cast("double"), F.lit(1.0))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1.0))
+      + 0.3 · min(1, stopword_ratio·5).
+
+    The Arrow pass counts tokens / punct chars / stopwords (ints);
+    the ratio + formula + round(…, 6) below are the identical JVM
+    double expressions as the scalar form, so values are bit-equal."""
+
+    def qcnt(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        punct = re.compile(r"[^\w\s]", re.ASCII)
+        stop = frozenset(STOPWORDS)
+        for pdf in batches:
+            n_chars, n_tok, n_punct, n_stop = [], [], [], []
+            for text in pdf["text"]:
+                if text is None:
+                    n_chars.append(None)
+                    n_tok.append(None)
+                    n_punct.append(None)
+                    n_stop.append(None)
+                    continue
+                toks = ws.split(text.strip(" "))
+                n_chars.append(len(text))
+                n_tok.append(len(toks))
+                n_punct.append(len(punct.findall(text)))
+                n_stop.append(sum(t in stop for t in toks))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_chars": pd.array(n_chars, dtype="Int32"),
+                "n_tok": pd.array(n_tok, dtype="Int32"),
+                "n_punct": pd.array(n_punct, dtype="Int32"),
+                "n_stop": pd.array(n_stop, dtype="Int32"),
+            })
+
+    counts = docs.select("doc_id", "text").mapInPandas(
+        qcnt, "doc_id long, n_chars int, n_tok int, n_punct int, n_stop int"
+    )
+    n_tok = F.col("n_tok").cast("double")
+    punct_ratio = F.col("n_punct").cast("double") / F.greatest(
+        F.col("n_chars").cast("double"), F.lit(1.0)
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(n_tok, F.lit(1.0))
     score = (
         0.4 * F.least(F.lit(1.0), n_tok / 50.0)
         + 0.3 * F.greatest(F.lit(0.0), 1.0 - punct_ratio * 10.0)
         + 0.3 * F.least(F.lit(1.0), stop_ratio * 5.0)
     )
-    return docs.select(
+    return counts.select(
         "doc_id",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -72,34 +145,53 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word scoring: predicted lang = argmax over languages of
-    marker hits (ties broken by language code ascending)."""
-    toks = tokens_col(F.col("text"))
+    marker hits (ties broken by language code ascending). Marker counts
+    are exact ints from one Arrow batch; the argmax struct comparison
+    (max score, then min rank) is the same JVM expression as before —
+    per-row over 5 counts, not per-token."""
+    codes = sorted(LANG_MARKERS)
 
-    def in_markers(ws):
-        arr = F.array(*[F.lit(w) for w in ws])
-        return lambda t: F.array_contains(arr, t)
+    def lcnt(batches):
+        import re
 
-    scores = [
-        F.struct(
-            F.size(F.filter(toks, in_markers(ws))).alias("score"),
-            F.lit(code).alias("lang"),
-        )
-        for code, ws in sorted(LANG_MARKERS.items())
-    ]
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        msets = [frozenset(LANG_MARKERS[c]) for c in codes]
+        for pdf in batches:
+            cols: list[list] = [[] for _ in codes]
+            for text in pdf["text"]:
+                if text is None:
+                    for col in cols:
+                        col.append(None)
+                    continue
+                toks = ws.split(text.strip(" "))
+                for col, ms in zip(cols, msets):
+                    col.append(sum(t in ms for t in toks))
+            out = {"doc_id": pdf["doc_id"], "lang_label": pdf["lang"]}
+            for c, col in zip(codes, cols):
+                out[f"c_{c}"] = pd.array(col, dtype="Int32")
+            yield pd.DataFrame(out)
+
+    counts = docs.select("doc_id", "lang", "text").mapInPandas(
+        lcnt,
+        "doc_id long, lang_label string, "
+        + ", ".join(f"c_{c} int" for c in codes),
+    )
     # array_max on (score, lang) structs: max score, then max lang code —
     # to get ties → *ascending* code we compare on (score, negated rank)
     ranked = [
         F.struct(
-            s["score"].alias("score"),
+            F.col(f"c_{c}").alias("score"),
             F.lit(-i).alias("rank"),
-            s["lang"].alias("lang"),
+            F.lit(c).alias("lang"),
         )
-        for i, s in enumerate(scores)
+        for i, c in enumerate(codes)
     ]
     best = F.array_max(F.array(*ranked))
-    return docs.select(
+    return counts.select(
         "doc_id",
-        F.col("lang").alias("lang_label"),
+        "lang_label",
         best["lang"].alias("lang_pred"),
         best["score"].alias("marker_hits"),
     )

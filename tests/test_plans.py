@@ -68,8 +68,10 @@ def test_seen_read_partition_pruning(spark, tiny_fixtures, tmp_path):
 
 
 def test_textops_scalar_zero_shuffle(spark):
-    """token/quality/lang-id are scan-fused: no Exchange, no Python
-    eval anywhere in the plan."""
+    """token/quality/lang-id: exactly ONE Arrow crossing (the integer
+    token-count pass — round 8 migration off the interpreted-HOF
+    scalar form), zero Exchanges; ratios/argmax stay JVM-side above
+    it."""
     from ccrawler_spark.textops.textstats import (
         lang_id, quality_score, token_stats,
     )
@@ -79,9 +81,9 @@ def test_textops_scalar_zero_shuffle(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     for op in (token_stats, quality_score, lang_id):
-        plan = plan_of(op(docs))
-        assert "Exchange" not in plan, op.__name__
-        assert "EvalPython" not in plan, op.__name__
+        plan = plan_of(op(docs), mode="simple")
+        assert plan.count("Exchange") == 0, f"{op.__name__}:\n{plan[:800]}"
+        assert plan.count("MapInPandas") == 1, f"{op.__name__}:\n{plan[:800]}"
 
 
 def test_textops_hashing_plan_shapes(spark):
