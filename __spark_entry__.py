@@ -18,6 +18,7 @@ quality (recall vs brute force) is additionally covered by pytest
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +72,11 @@ def _emb_parquet(sf_dir: str) -> str:
 # the driver's correctness gate runs both sides at sf=0.01 (builder
 # brief); the trained-centroid literals in oracle_sql() are bound to
 # this table
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)  # env-overridable (ADVICE r7): if the driver ever gates at another
+# sf, point this at it so the trained-centroid literals keep matching
+# the Spark side's per-sf training
 
 
 # --------------------------------------------------------------- queries
@@ -490,12 +495,16 @@ def q_crawl_round_log(spark, sf_dir):
     as pruned_corpus_read: the scheduler fixture IS the unit under
     test). Deliberately not in bench.py's HEADLINE — bench times the
     crawl round under its own median-of-3 protocol already."""
-    import tempfile
+    import shutil
 
     from ccrawler_spark import testing as tt
+    from ccrawler_spark.fixtures.gen import FIXTURE_ROOT
 
-    out = tempfile.mkdtemp(prefix="gate-crawl-")
-    _, store, _ = tt.engine_run(spark, "tiny", out, rounds=2)
+    # fixed store path, recreated per call (ADVICE r7: the previous
+    # mkdtemp leaked a full 2-round engine store per gate invocation)
+    out = FIXTURE_ROOT / "gate-crawl-store"
+    shutil.rmtree(out, ignore_errors=True)
+    _, store, _ = tt.engine_run(spark, "tiny", str(out), rounds=2)
     return store.read_fetch_log(2).select(
         "round", "seq", "url", "host", "slot_ms"
     )

