@@ -84,7 +84,19 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     Hamming ≤ 1 of the query's bucket (bucket ring). At 100 TB the
     bucket column is precomputed+partitioned-by, so a query prunes to
     (n_planes+1)/2^n_planes of the corpus; here it is computed inline.
-    """
+
+    Round-8 shape (guide §4.2, the same migration as ``srp_buckets`` /
+    ``assign_cells``): buckets come from one vectorized Arrow batch and
+    the ring members join back as a broadcast id set — exactly
+    ``ann_topk_ivf``'s plan. The previous inline ``lsh_bucket_col``
+    filter was n_planes × dim interpreted HOF flops per row, and
+    because it was an inlinable scalar expression the filter pushed
+    down onto the (single-split at bench scale) parquet scan —
+    serializing the whole bucket computation onto one task. The Arrow
+    pass accumulates each plane dot in component order (sequential
+    left-to-right float64 sum — the ``srp_buckets`` bit-identity
+    argument), so the bucket bits, ring membership, and therefore the
+    result rows are identical; the value-hash gate pins it."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes)
     qbits = 0
@@ -92,11 +104,15 @@ def ann_topk_lsh(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         if sum(q * x for q, x in zip(query_vec, plane)) > 0:
             qbits |= 1 << p
     ring = [qbits] + [qbits ^ (1 << p) for p in range(n_planes)]
-    bucketed = embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col("embedding"), planes)
-    )
-    cands = bucketed.filter(F.col("bucket").isin(ring))
-    return ann_topk_bruteforce(cands.drop("bucket"), query_vec, k, id_col)
+    in_ring = srp_buckets(
+        embeddings, dim, n_planes, n_tables=1, id_col=id_col
+    ).filter(F.col("bucket").isin(ring)).select(id_col)
+    # broadcast the ring id set: a mapInPandas output has no size
+    # statistics, so Catalyst would shuffle the embeddings for a
+    # sort-merge join; the ring is ~(n_planes+1)/2^n_planes of the
+    # corpus ids — 8-byte rows (same rationale as ann_topk_ivf)
+    cands = embeddings.join(F.broadcast(in_ring), on=id_col)
+    return ann_topk_bruteforce(cands, query_vec, k, id_col)
 
 
 def srp_buckets(embeddings: DataFrame, dim: int, n_planes: int = 8,
@@ -579,10 +595,22 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     capped = _drop_overfull(b, ["table", "bucket"], bucket_cap)
     left = capped.select(F.col("vec_id").alias("id_a"), "table", "bucket")
     right = capped.select(F.col("vec_id").alias("id_b"), "table", "bucket")
+    # explicit-count repartition at the pair-distinct (same rationale
+    # as dedup._banded_hamming_pairs, guide §2.5): the blocking join
+    # MULTIPLIES rows (1M candidate pairs at bench sf1.0 from 20k
+    # vectors), but the distinct's exchange is sized by AQE from its
+    # ~16 MB input and collapses to ~1 partition — putting the exact
+    # per-pair cosine (64 interpreted flops/pair) downstream of it on
+    # one task. REPARTITION_BY_NUM is exempt from coalescing. Keyed on
+    # id_a ALONE: a subset of the distinct keys (so distinct reuses the
+    # partitioning, no extra exchange) AND the first attach join's key
+    # (so the pair stream enters it without re-shuffling).
+    p = embeddings.sparkSession.sparkContext.defaultParallelism * 4
     pairs = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(p, "id_a")
         .distinct()
     )
     norms = (
