@@ -252,7 +252,15 @@ class SnapshotStore:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        # label the write job (guide §1.5) — job descriptions are
+        # thread-local, so each overlapped pool write is attributed
+        # correctly in the UI / event log
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription("store write: " + "/".join(parts))
+        try:
+            w.parquet(path)
+        finally:
+            sc.setJobDescription(None)
         return str(pathlib.Path(*parts))
 
     # --------------------------------------------------------------- gc

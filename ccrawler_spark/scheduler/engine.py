@@ -44,6 +44,14 @@ BLOOM_SCHEMA = StructType([
     StructField("bits", BinaryType()),
 ])
 
+# below this many candidates (proxied by the previous round's enqueued
+# count) the bloom pre-filter's fixed cogroup + Arrow-crossing cost
+# exceeds what it saves the exact anti-join — skip the probe (results
+# identical; see run_round). 4096 matches the small-schedule regime
+# bound (ID_PUSHDOWN_CAP): the same "metadata-sized round" cutoff used
+# elsewhere.
+BLOOM_PROBE_MIN_PREV_ENQUEUED = 4096
+
 
 def _pair_ids(rows) -> dict[str, set[str]]:
     """(host, image_id) schedule rows → {host: its scheduled ids} for
@@ -335,9 +343,17 @@ class CrawlEngine:
                 )
             else:
                 denied = sched0.select(*FRONTIER_COLS).limit(0)
-        # 5. fetch sequence (cumulative seq across rounds)
+        # 5. fetch sequence (cumulative seq across rounds). Small-budget
+        # regime (same static bound as the metadata collect): identical
+        # seq from one single-partition window instead of the 3-stage
+        # group prefix-sum — see stages.with_fetch_sequence.
+        from ccrawler_spark.io.corpus_layout import ID_PUSHDOWN_CAP
+
         seq_offset = prev["counters"]["fetched_total"]
-        scheduled = stages.with_fetch_sequence(sched0, r, seq_offset).cache()
+        scheduled = stages.with_fetch_sequence(
+            sched0, r, seq_offset,
+            small_budget=conf.round_budget <= ID_PUSHDOWN_CAP,
+        ).cache()
 
         # schedule-metadata collect (lineage counts + layout pushdown
         # keys, one job — see _sched_metadata) on a pool thread: its
@@ -375,15 +391,29 @@ class CrawlEngine:
         prev_enqueued = sum(
             v.get("enqueued", 0) for v in prev["lineage"].values()
         )
+        # volume gate (round 8): the probe's payoff scales with the
+        # candidate volume it can prune, but its cost (cogroup shuffle
+        # + one Arrow crossing of every candidate, ~3 scheduler jobs)
+        # is fixed — below a few thousand candidates the exact
+        # anti-join alone is strictly cheaper. prev round's enqueued
+        # count is the same driver-side volume proxy the zero/nonzero
+        # skip already used; exactness is unaffected either way (the
+        # anti-join is the gate, the bloom a prefilter).
+        use_bloom = prev_enqueued > BLOOM_PROBE_MIN_PREV_ENQUEUED
         fresh = seen_dedup(
-            candidates, seen, conf, bloom if prev_enqueued else None
+            candidates, seen, conf, bloom if use_bloom else None
         )
+        # cached WITHOUT the adds-layout repartition (round 8): the
+        # layout shuffle only serves the adds-delta write, and its
+        # partition count is now sized from n_fresh AFTER the counts
+        # job (see `additions` below) — a tiny round no longer pays a
+        # fixed 64-task shuffle+write for a handful of rows. The other
+        # consumers (counts, seen delta, bloom cogroup, head union)
+        # each re-key anyway.
         fresh = (
             fresh.withColumn("status", F.lit("queued"))
             .withColumn("retry_count", F.lit(0))
             .select(*FRONTIER_COLS)
-            .repartition(64, F.col("host_bucket"),
-                         umod_long(F.col("url_hash"), 8))
             .cache()
         )
 
@@ -484,11 +514,7 @@ class CrawlEngine:
                 new_head.unionByName(fresh_allowed), conf,
                 self._head_m(), salted=True,
             ).drop("_rn").select(*HEAD_COLS)
-        additions = fresh if recrawl is None else (
-            fresh.unionByName(recrawl).repartition(
-                64, F.col("host_bucket"), umod_long(F.col("url_hash"), 8)
-            )
-        )
+        additions = fresh if recrawl is None else fresh.unionByName(recrawl)
         # repartition by the write-partition key: otherwise each
         # of the 64 host_bucket tasks writes a file into every
         # seen_part dir (64×64 small files per round)
@@ -514,6 +540,17 @@ class CrawlEngine:
                 "frontier", f"head-r{r}",
             )
         if n_fresh or recrawl is not None:
+            # adds-delta layout shuffle, sized from the counts now in
+            # hand (~25k rows/partition, capped at the previous fixed
+            # 64): same (host_bucket, umod8) co-location keys, so a
+            # compacted hot bucket still spans multiple files, but a
+            # metadata-sized round writes 1 task instead of 64
+            n_adds = n_fresh + (n_fetched if recrawl is not None else 0)
+            adds_parts = min(64, max(1, -(-n_adds // 25_000)))
+            additions = additions.repartition(
+                adds_parts, F.col("host_bucket"),
+                umod_long(F.col("url_hash"), 8),
+            )
             jobs["adds"] = pool.submit(
                 store.write_parquet, additions, "frontier", f"adds-r{r}",
                 partition_by=["host_bucket"],

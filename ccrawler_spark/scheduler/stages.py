@@ -201,8 +201,21 @@ SEQ_KEY = ["slot_ms", "host_bucket", "host", "url_hash", "url"]
 SEQ_GROUP = ["slot_ms", "host_bucket"]  # prefix of SEQ_KEY ⇒ order-compatible
 
 
-def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int) -> DataFrame:
+def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int,
+                        small_budget: bool = False) -> DataFrame:
     """O29: total fetch order (slot_ms, host_bucket, host, url_hash, url).
+
+    ``small_budget`` (round 8, guide §1.2 "remove unnecessary passes"):
+    when the caller's round budget statically bounds the schedule to a
+    few thousand rows, the group prefix-sum below spends three extra
+    plan stages (counts aggregate + offsets window + broadcast join —
+    with AQE, three serialized scheduler jobs per round) to
+    parallelize a sort that fits trivially in one task. The small
+    branch ranks the whole schedule in a single-partition window over
+    the SAME total key, producing identical seq values (row_number
+    over a total order ≡ group prefix-sum over its prefix groups);
+    the engine gates it on conf.round_budget ≤ ID_PUSHDOWN_CAP, the
+    same static bound the schedule-metadata collect uses.
 
     Distributed global ranking as a deterministic group prefix-sum:
     rows are grouped on (slot_ms, host_bucket) — a *prefix* of the
@@ -221,6 +234,16 @@ def with_fetch_sequence(scheduled: DataFrame, round_no: int, seq_offset: int) ->
     B) ≪ K, so it broadcasts. Group sizes are ~|hosts scheduled at
     that slot| / B — naturally balanced, no hot key.
     """
+    if small_budget:
+        w_all = Window.partitionBy(F.lit(0)).orderBy(*SEQ_KEY)
+        return (
+            scheduled.withColumn(
+                "seq",
+                (F.row_number().over(w_all) - 1 + F.lit(seq_offset))
+                .cast("long"),
+            )
+            .withColumn("round", F.lit(round_no))
+        )
     counts = scheduled.groupBy(*SEQ_GROUP).count()
     # single-partition window — intentional: its input is the AGGREGATED
     # counts side, |distinct (slot_ms, host_bucket)| ≤ per_host_k ×

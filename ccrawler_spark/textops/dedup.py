@@ -341,6 +341,13 @@ def simhash64(docs: DataFrame) -> DataFrame:
     )
 
 
+BANDED_SPREAD = 1  # partition-count multiple of defaultParallelism for
+# the banded self-join stage (explicit count, exempt from AQE
+# coalescing — see _banded_hamming_pairs). Interleaved same-session A/B
+# at sf1.0: x1 beat x4 on both simhash_near_pairs and
+# phash_near_pairs_star in 4/4 trials (task-launch overhead of the
+# extra partitions outweighs finer skew spreading at this scale).
+
 BAND_CAP = 1024  # drop (band, key) groups larger than this before the
 # banded self-joins below — the same hygiene as LSH_BUCKET_CAP: a group
 # of size m contributes O(m²) join rows, and at 10⁹ docs a 15-16-bit
@@ -446,7 +453,7 @@ def _banded_hamming_pairs(df: DataFrame, id_col: str, h_col: str,
     # cluster parallelism; distinct reuses the partitioning (no second
     # exchange). Measured on the declared simhash_near_pairs query at
     # sf1.0: 9.9-14.4 s → 1.6 s warm, byte-identical output.
-    p = df.sparkSession.sparkContext.defaultParallelism * 4
+    p = df.sparkSession.sparkContext.defaultParallelism * BANDED_SPREAD
     distinct_h = members.select("_h").repartition(p, "_h").distinct()
     bands = [
         F.shiftrightunsigned(F.col("_h"), band_bits * b)

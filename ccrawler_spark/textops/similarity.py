@@ -546,6 +546,10 @@ def ann_topk_ivf(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return ann_topk_bruteforce(cands, query_vec, k, id_col)
 
 
+PAIR_SPREAD = 1  # partition-count multiple for the pair-distinct stage
+# (explicit count, exempt from AQE coalescing; x1 vs x4 A/B'd like
+# dedup.BANDED_SPREAD — task-launch overhead dominates above x1 here)
+
 SRP_BUCKET_CAP = 1024  # drop (table, bucket) groups larger than this
 # before the blocking self-join in embedding_near_dup_pairs — the same
 # hygiene as dedup.BAND_CAP: a group of size m contributes O(m²) join
@@ -605,7 +609,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
     # id_a ALONE: a subset of the distinct keys (so distinct reuses the
     # partitioning, no extra exchange) AND the first attach join's key
     # (so the pair stream enters it without re-shuffling).
-    p = embeddings.sparkSession.sparkContext.defaultParallelism * 4
+    p = embeddings.sparkSession.sparkContext.defaultParallelism * PAIR_SPREAD
     pairs = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

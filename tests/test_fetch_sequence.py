@@ -70,3 +70,17 @@ def test_seq_stable_across_recomputation(sched_df):
 def test_seq_is_long(sched_df):
     out = stages.with_fetch_sequence(sched_df, 1, 0)
     assert dict(out.dtypes)["seq"] == "bigint"
+
+
+def test_small_budget_branch_identical(sched_df):
+    """Round 8: the small_budget single-window plan must assign exactly
+    the seq the group prefix-sum assigns, row for row (the engine
+    switches plans on conf.round_budget, never values)."""
+    sub = sched_df.filter(F.pmod("url_hash", F.lit(79)) == 0)  # ~2.5k rows
+    a = stages.with_fetch_sequence(sub, 1, 7).select("url", "seq")
+    b = stages.with_fetch_sequence(sub, 1, 7, small_budget=True).select(
+        "url", F.col("seq").alias("seq_b")
+    )
+    diff = a.join(b, on="url").filter(F.col("seq") != F.col("seq_b")).count()
+    assert diff == 0
+    assert a.count() == b.count()
