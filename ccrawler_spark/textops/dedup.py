@@ -60,6 +60,43 @@ def word_shingles(text_col, k: int = SHINGLE_K):
     )
 
 
+def shingle_arrays(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingles array<string>) — ``word_shingles`` semantics
+    in one Arrow batch (round 8): identical construction to the
+    ``minhash_signatures`` batch pass (ASCII ``\\s`` split, trim of
+    0x20 only, first-occurrence distinct, ``[w[0]]`` when n < k;
+    null text → ``[null]``, matching ``array(w[0])`` over a null
+    split). The JVM HOF form evaluated interpreted per element and,
+    being inlinable, re-ran once per consuming join branch; the gate's
+    value hash pins parity."""
+
+    def sh(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                if text is None:
+                    out.append([None])
+                    continue
+                toks = ws.split(text.strip(" "))
+                if len(toks) >= k:
+                    out.append(list(dict.fromkeys(
+                        " ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)
+                    )))
+                else:
+                    out.append([toks[0]])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        sh, "doc_id long, shingles array<string>"
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact content dedup: one survivor (min doc_id) per text hash.
     The groupBy key is the 60-bit portable hash, not the text — the
@@ -258,9 +295,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.2) -> DataFrame:
         member_ids = F.broadcast(member_ids)
     else:
         member_ids = member_ids.hint("shuffle_hash")
-    sh = docs.join(member_ids, on="doc_id").select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    )
+    sh = shingle_arrays(docs.join(member_ids, on="doc_id"))
     j = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a")
                      .withColumnRenamed("shingles", "sh_a"), on="doc_a")
