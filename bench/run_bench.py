@@ -303,6 +303,24 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
     def _code(s):
         return s.get("code", "pre-r7")
 
+    def _healthy(s):
+        """Pre-registered health rule (VERDICT r7 #4), applied
+        uniformly to every sample — favorable or not: a sample is
+        excluded from the HEADLINE medians (it stays in the pool and
+        the disclosure table) when its own provenance shows a degraded
+        window — steal_frac > 0.02 over the run, or a single-core
+        spin probe (start or end) above 125 ms (~105 ms is this box's
+        clean value). Samples predating the provenance fields pass
+        (nothing measurable to judge them by)."""
+        if (s.get("cpu_window") or {}).get("steal_frac", 0) > 0.02:
+            return False
+        pr = s.get("cpu_probe_ms") or {}
+        for side in ("start", "end"):
+            single = (pr.get(side) or {}).get("single")
+            if single is not None and single > 125:
+                return False
+        return True
+
     shape_all = [
         s for s in samples
         if sorted(int(k) for k in s["levels"]) == list(lv)
@@ -315,6 +333,12 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
     disk = [s for s in shape_all if _tag(s).startswith("disk")]
     if not compat:  # disk-only pool: claim what exists, tagged below
         compat = shape_ok
+    # health-gated headline pool (VERDICT r7 #4): medians over healthy
+    # windows only; degraded samples stay disclosed. An all-degraded
+    # pool falls back to the full pool (disclosed via n_excluded == 0
+    # healthy) rather than publishing nothing.
+    healthy = [s for s in compat if _healthy(s)]
+    gated = healthy if healthy else compat
 
     def med(vals):
         vs = sorted(vals)
@@ -325,11 +349,15 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
         c: {
             "frontier_rows": sample["frontier_rows"],
             "timed_fetched": results[c]["timed_fetched"],
-            "timed_wall_s": med([s["levels"][str(c)]["timed_wall_s"] for s in compat]),
-            "urls_per_sec": med([s["levels"][str(c)]["urls_per_sec"] for s in compat]),
+            "timed_wall_s": med([s["levels"][str(c)]["timed_wall_s"] for s in gated]),
+            "urls_per_sec": med([s["levels"][str(c)]["urls_per_sec"] for s in gated]),
             "frontier_rows_per_sec": med(
-                [s["levels"][str(c)]["frontier_rows_per_sec"] for s in compat]),
+                [s["levels"][str(c)]["frontier_rows_per_sec"] for s in gated]),
         }
+        for c in lv
+    }
+    ungated_levels = {
+        str(c): med([s["levels"][str(c)]["urls_per_sec"] for s in compat])
         for c in lv
     }
     med_pairs = {
@@ -343,6 +371,13 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
             (med_results[lv[-1]]["urls_per_sec"] / med_results[lv[0]]["urls_per_sec"])
             / (lv[-1] / lv[0]), 3)
         if len(lv) > 1 else None
+    )
+    pool_tags = sorted({_tag(s) for s in gated})
+    store_label = (
+        "tmpfs:/dev/shm (excludes real-disk persistence cost)"
+        if pool_tags == [TMPFS_TAG]
+        else " + ".join(pool_tags)
+        + " (DISK-backed pool: no tmpfs samples for this code tag)"
     )
     summary = {
         "metric": "frontier dequeue+fetch-schedule throughput",
@@ -358,7 +393,16 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
         "contract_pair_efficiency": med_pairs[f"{lv[0]}->{lv[1]}"] if len(lv) > 1 else None,
         "min_to_max_efficiency": med_min_max,
         "pair_efficiencies": med_pairs,
-        "n_samples": len(compat),
+        "n_samples": len(gated),
+        "health_gate": {
+            "rule": "exclude from headline medians: steal_frac > 0.02"
+                    " or single-core probe > 125 ms (start or end);"
+                    " pre-registered, applied uniformly",
+            "n_pool": len(compat),
+            "n_excluded": len(compat) - len(healthy),
+            "all_degraded_fallback": not healthy,
+            "ungated_levels": ungated_levels,
+        },
         "latest_sample": {"levels": {str(c): results[c]["urls_per_sec"] for c in lv},
                           "pair_efficiencies": pairs,
                           "min_to_max_efficiency": min_max,
@@ -366,10 +410,11 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
                           "store": _tag(sample)},
         "frontier_rows": results[lv[-1]]["frontier_rows"],
         "code": _code(sample),
-        # snapshot store on tmpfs (/dev/shm): excludes real-disk
-        # persistence cost — a deliberate local-mode control, disclosed
-        # here so JSON consumers see it without reading BASELINE.md
-        "store": "tmpfs:/dev/shm (excludes real-disk persistence cost)",
+        # derived from the pool actually used (ADVICE r7 medium: the
+        # disk-only fallback used to publish disk medians labeled
+        # tmpfs); normally "tmpfs:/dev/shm (excludes real-disk
+        # persistence cost)"
+        "store": store_label,
     }
     disk_note = None
     if disk:
@@ -392,12 +437,13 @@ def publish(bench_dir, results, lv, pairs, min_max, sample):
     with open(bench_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=1)
     write_baseline_md(med_results, med_pairs, lv, compat, bench_dir,
-                      disk_note=disk_note)
+                      disk_note=disk_note, store_label=store_label,
+                      n_gated=len(gated))
     print(json.dumps(summary))
 
 
 def write_baseline_md(results, pairs, lv, samples=None, bench_dir=None,
-                      disk_note=None):
+                      disk_note=None, store_label=None, n_gated=None):
     bench_dir = pathlib.Path(bench_dir) if bench_dir else REPO / "BENCH"
     md = ["# BENCH/BASELINE.md — measured crawl-engine throughput\n",
           "Protocol: BASELINE.md (M5). Seeded frontier = full bench universe;",
@@ -405,9 +451,17 @@ def write_baseline_md(results, pairs, lv, samples=None, bench_dir=None,
           "(= one full head-cache cycle: three head rounds + the refill);",
           "URLs/sec = fetched-and-committed per second of run_round wall.",
           f"Headline numbers are per-level MEDIANS over "
-          f"{len(samples) if samples else 1} full orchestrator run(s)",
-          "(every sample disclosed below; BENCH/scaling_samples.json has",
-          "walls + /proc/loadavg provenance per sample).\n",
+          f"{n_gated if n_gated is not None else (len(samples) if samples else 1)}"
+          f" HEALTH-GATED run(s) out of a {len(samples) if samples else 1}-sample pool",
+          "(pre-registered rule, applied uniformly incl. to favorable",
+          "samples: a sample is excluded from the headline medians — it",
+          "stays disclosed below — when its own provenance shows",
+          "steal_frac > 0.02 or a single-core spin probe > 125 ms;",
+          "summary.json health_gate has both gated and ungated medians;",
+          "BENCH/scaling_samples.json has walls + /proc/loadavg",
+          "provenance per sample).",
+          ("" if store_label is None or store_label.startswith("tmpfs")
+           else f"**Store: {store_label}** — NOT the tmpfs protocol.") + "\n",
           "| parallelism | frontier rows | timed fetches | timed wall (s) | URLs/sec | frontier rows/s |",
           "| --- | --- | --- | --- | --- | --- |"]
     for c in sorted(results):

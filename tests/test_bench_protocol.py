@@ -169,3 +169,49 @@ def test_publish_disk_samples_never_pollute_tmpfs_medians(tmp_path):
     assert dc["delta_vs_tmpfs_median"]["32"] == round(1400.0 / 1675.0 - 1, 3)
     md = (tmp_path / "BASELINE.md").read_text()
     assert "Disk-store control" in md and "local[32] | 1400.0" in md
+
+
+def test_publish_health_gate_excludes_degraded_samples(tmp_path):
+    """VERDICT r7 #4: the pre-registered health rule must drop a
+    degraded-window sample from the HEADLINE medians (keeping it in
+    the pool + disclosure) — and the rule must also fire against a
+    FAVORABLE degraded sample, not just unfavorable ones."""
+    lv = [2, 8, 32]
+    good1 = _mk_sample(1, {2: 300.0, 8: 1000.0, 32: 1700.0})
+    good2 = _mk_sample(2, {2: 310.0, 8: 1020.0, 32: 1720.0})
+    # degraded sample with the HIGHEST throughput: excluding it lowers
+    # the headline (no cherry-picking possible)
+    hot = _mk_sample(3, {2: 400.0, 8: 1500.0, 32: 2500.0})
+    hot["cpu_window"] = {"steal_frac": 0.05, "busy_frac": 0.3}
+    for s in (good1, good2):
+        s["cpu_window"] = {"steal_frac": 0.001, "busy_frac": 0.3}
+        s["cpu_probe_ms"] = {"start": {"single": 104.0, "multi8": 110.0},
+                             "end": {"single": 106.0, "multi8": 111.0}}
+    (tmp_path / "scaling_samples.json").write_text(json.dumps([good1, good2]))
+    rb.publish(tmp_path, _results_from(hot), lv, hot["pair_efficiencies"],
+               0.5, hot)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert summary["n_samples"] == 2
+    assert summary["health_gate"]["n_excluded"] == 1
+    # gated median of {300, 310} = 305; ungated includes the hot 400
+    assert summary["levels"]["2"] == 305.0
+    assert summary["health_gate"]["ungated_levels"]["2"] == 310.0
+    md = (tmp_path / "BASELINE.md").read_text()
+    assert "HEALTH-GATED" in md
+
+
+def test_publish_disk_only_pool_labels_store_honestly(tmp_path):
+    """ADVICE r7 medium: when the pool falls back to disk samples the
+    summary's store field and BASELINE.md must say so instead of the
+    hardcoded tmpfs claim."""
+    lv = [2, 8, 32]
+    d = _mk_sample(1, {2: 300.0, 8: 1000.0, 32: 1700.0})
+    d["store"] = "disk:/root/bench_store"
+    (tmp_path / "scaling_samples.json").write_text(json.dumps([]))
+    rb.publish(tmp_path, _results_from(d), lv, d["pair_efficiencies"],
+               0.5, d)
+    summary = json.loads((tmp_path / "summary.json").read_text())
+    assert summary["store"].startswith("disk:"), summary["store"]
+    assert "DISK-backed pool" in summary["store"]
+    md = (tmp_path / "BASELINE.md").read_text()
+    assert "NOT the tmpfs protocol" in md
