@@ -190,7 +190,9 @@ TMPFS_TAG = "tmpfs:/dev/shm"
 # changes dispatch cost at every level. Samples without a "code" key
 # are the pre-r7 pool; they stay in scaling_samples.json as disclosed
 # history but leave the headline medians.
-CODE_TAG = "r7-cached-plan-aqe"
+CODE_TAG = "r8-round-job-cuts"  # round 8: bloom-probe volume gate,
+# small-budget fetch sequence, counts-sized adds shuffle (engine.py) —
+# the per-round job count changed, so r7 samples must not mix in
 
 
 def orchestrate(levels=(8, 32), store_dir: str = "/dev/shm") -> None:
